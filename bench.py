@@ -1,0 +1,73 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The driver records this as
+BENCH_r{N}.json and grades against BASELINE.md (DuckDB on the same
+parquet is the de facto yardstick, 2x envelope).
+
+Each timed run drains the query with a count-style action (collect on
+aggregates, count on wide outputs) so the whole plan executes; a warmup
+pass primes the JVM/codegen caches first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dirty_js_etl_spark.queries import all_queries  # noqa: E402
+from dirty_js_etl_spark.session import get_spark  # noqa: E402
+
+# headline set: the merge pipeline (shuffle join + audit), grouped agg,
+# broadcast FK join, distinct, and the scalar-heavy projection
+HEADLINE = [
+    "t5_merge_full",
+    "t6_audit",
+    "c11_t4_grouping",
+    "c13_foreign_key",
+    "t3_force_distinct",
+    "t11_idempotent_merge",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in qs]
+
+    # warmup: prime JVM, codegen, parquet footers
+    for n in names[:1]:
+        qs[n](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        df = qs[n](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[n] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Catalog — named-relation resolution over a parquet directory.
+
+The reference addresses relations as ``[db].[dbo].[table]`` strings inside
+one SQL Server instance (``/root/reference/tsql2008.js:7-18``); data never
+flows through the tool. Here a relation name resolves to a ``DataFrame``:
+by default a parquet file under a root directory (the driver fixture
+layout, ``/root/testdata/sf*/{name}.parquet``), with an overlay dict so a
+pipeline can layer in-flight results on top (the analog of "tables already
+migrated in this run" that the reference's FK lookups depend on —
+``/root/reference/etl.js:39`` loads mappings in dependency order for
+exactly this reason).
+
+Temp names (reference: ``#temp`` passes through unqualified,
+``tsql2008.js:8``) map to overlay-only relations that never touch storage.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    """Resolve table names to DataFrames over a parquet root + overlay."""
+
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self.root = root
+        self._overlay: dict[str, DataFrame] = {}
+        self._loaders: dict[str, Callable[[], DataFrame]] = {}
+
+    def register(self, name: str, df: DataFrame) -> None:
+        """Overlay a DataFrame under ``name`` (wins over parquet)."""
+        self._overlay[name] = df
+
+    def register_loader(self, name: str, loader: Callable[[], DataFrame]) -> None:
+        self._loaders[name] = loader
+
+    def has(self, name: str) -> bool:
+        if name in self._overlay or name in self._loaders:
+            return True
+        return self.root is not None and os.path.exists(self._path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if name in self._overlay:
+            return self._overlay[name]
+        if name in self._loaders:
+            return self._loaders[name]()
+        if self.root is None:
+            raise KeyError(f"unknown relation {name!r} (no parquet root configured)")
+        return self.spark.read.parquet(self._path(name))
+
+    def _path(self, name: str) -> str:
+        assert self.root is not None
+        return os.path.join(self.root, f"{name}.parquet")
+
+    def register_all_views(self, tables: list[str]) -> None:
+        """createOrReplaceTempView for each table so Spark SQL can see them."""
+        for t in tables:
+            self.read(t).createOrReplaceTempView(t)
+
+
+FIXTURE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def fixture_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Catalog over one driver fixture directory (TESTDATA.md)."""
+    return Catalog(spark, root=sf_dir)

@@ -1,0 +1,399 @@
+"""Column-transform combinators — the mapping DSL (SURVEY.md §2.1).
+
+Each combinator mirrors one of the 15 operators of the reference DSL
+(``/root/reference/mappr.js``) but returns a :class:`ColumnSpec`: a lazy
+``pyspark.sql.Column`` expression plus the metadata flags the reference
+attaches to ``options`` (``isColumn`` / ``isColumns`` / ``aggregate`` /
+``mergeOn``) that drive GROUP BY inference and merge-key classification in
+the compiler (``/root/reference/tsql2008.js:197-238``).
+
+T-SQL semantic quirks are reproduced deliberately (SURVEY.md §7.4):
+
+- ``InvertBit(NULL) = 1`` (NULL falls into the CASE ELSE,
+  ``mappr.js:191-202``);
+- ``CopyOrDefault`` treats whitespace-only as empty (T-SQL ``LEN``
+  ignores trailing spaces, ``mappr.js:271-282``);
+- ``ConcatColumns`` coalesces each part to ``''`` before concatenation
+  (T-SQL string ``+`` with NULL yields NULL, ``mappr.js:216-235``);
+- ``StaticHash`` hashes at *plan-build* time on the driver and embeds a
+  literal, not a per-row hash (``mappr.js:236-246``).
+
+Everything here builds stock Catalyst expressions — whole-stage-codegen
+eligible, no Python UDFs — so at 100 TB these run JVM-side and fold into
+the scan/project stages.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+from dataclasses import dataclass, replace
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.functions import tsql_compat
+
+__all__ = [
+    "ColumnSpec",
+    "FkLookup",
+    "MergeOnSpec",
+    "DirectCopy",
+    "CastAs",
+    "RawValue",
+    "CaseMap",
+    "InvertBit",
+    "TruncateString",
+    "ConcatColumns",
+    "CopyOrDefault",
+    "CopyOrClear",
+    "StaticHash",
+    "AggregateColumn",
+    "MergeOn",
+    "ForeignKey",
+    "SqlFunction",
+    "Sql",
+]
+
+
+@dataclass(frozen=True)
+class FkLookup:
+    """A surrogate-key lookup (reference C13, ``mappr.js:283-307``).
+
+    The reference generates a scalar T-SQL function per distinct
+    ``(parent_table, parent_column, import_column[, filter])`` tuple
+    (memoized, ``mappr.js:290-294``); the Spark-native equivalent is a
+    **broadcast left-outer equi-join** against the deduplicated parent
+    (SURVEY.md §2 row C13). ``name`` doubles as the memo key and the
+    join-output column prefix.
+    """
+
+    parent_table: str
+    parent_column: str
+    import_column: str
+    filter_column: str | None = None
+    filter_value: Any = None
+
+    @property
+    def name(self) -> str:
+        # mirrors the generated fn name get_<parent>_<col>_by_<import>
+        # (reference mappr.js:96-105) so plans read like the golden SQL
+        n = f"get_{self.parent_table}_{self.parent_column}_by_{self.import_column}"
+        if self.filter_column is not None:
+            n += f"_f_{self.filter_column}"
+        return n
+
+    @property
+    def output_column(self) -> str:
+        return f"__fk_{self.name}"
+
+
+@dataclass(frozen=True)
+class MergeOnSpec:
+    """Merge-key classification (reference C12, ``mappr.js:167-190``).
+
+    Three forms, matching ``tsql2008.js:197-209``:
+    ``kind='column'`` → ``ON D.dest = S.src``;
+    ``kind='value'``  → ``ON D.dest = <literal>``;
+    ``kind='null'``   → ``ON D.dest IS NULL``.
+    """
+
+    kind: str  # 'column' | 'value' | 'null'
+    source_column: str | None = None
+    value: Any = None
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One destination column: a lazy expression + DSL metadata."""
+
+    expr: Column
+    source_columns: tuple[str, ...] = ()
+    is_column: bool = False  # single-col ref -> GROUP BY key candidate
+    is_columns: bool = False  # multi-col ref -> all cols become keys
+    aggregate: str | None = None  # agg fn name (C11); excluded from keys
+    merge_on: MergeOnSpec | None = None
+    lookups: tuple[FkLookup, ...] = ()
+
+    def with_merge_on(self, spec: MergeOnSpec) -> "ColumnSpec":
+        return replace(self, merge_on=spec)
+
+
+def _col_spec(expr: Column, *cols: str, **kw: Any) -> ColumnSpec:
+    return ColumnSpec(expr=expr, source_columns=tuple(cols), **kw)
+
+
+# ---------------------------------------------------------------------------
+# C1-C15
+# ---------------------------------------------------------------------------
+
+
+def DirectCopy(source_column: str) -> ColumnSpec:
+    """C1 — identity column reference (``mappr.js:247-261``)."""
+    return _col_spec(F.col(source_column), source_column, is_column=True)
+
+
+# T-SQL type spellings -> Spark SQL cast targets. The reference passes
+# types through as uninterpreted strings (SURVEY.md §1.2); we resolve the
+# observed vocabulary and accept Spark type names verbatim otherwise.
+_TSQL_TYPES = {
+    "INT": "int",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "BIT": "boolean",
+    "FLOAT": "double",
+    "REAL": "float",
+    "DATETIME": "timestamp",
+    "DATETIME2": "timestamp",
+    "DATE": "date",
+    "UNIQUEIDENTIFIER": "string",
+    "NVARCHAR": "string",
+    "VARCHAR": "string",
+    "CHAR": "string",
+    "NCHAR": "string",
+    "TEXT": "string",
+    "NTEXT": "string",
+}
+
+
+def resolve_type(type_name: str) -> str:
+    base = type_name.split("(")[0].strip().upper()
+    if base in _TSQL_TYPES:
+        return _TSQL_TYPES[base]
+    if base.startswith("DECIMAL") or base.startswith("NUMERIC"):
+        inner = type_name[type_name.find("(") :] if "(" in type_name else "(18,2)"
+        return f"decimal{inner}"
+    return type_name  # assume a Spark type name
+
+
+def CastAs(source_column: str, type_name: str) -> ColumnSpec:
+    """C2 — ``CAST(col AS type)`` (``mappr.js:120-133``)."""
+    return _col_spec(
+        F.col(source_column).cast(resolve_type(type_name)), source_column, is_column=True
+    )
+
+
+def RawValue(value: Any = None, dtype: str | None = None) -> ColumnSpec:
+    """C3 — literal; ``None`` → NULL (``mappr.js:352-362``)."""
+    expr = F.lit(None) if value is None else F.lit(value)
+    if dtype is not None:
+        expr = expr.cast(resolve_type(dtype))
+    return ColumnSpec(expr=expr)
+
+
+def CaseMap(source_column: str, mapping: dict[Any, Any], default: Any = None) -> ColumnSpec:
+    """C4 — value remap via chained CASE (``mappr.js:143-166``).
+
+    The reference nests one CASE per key; the flat WHEN-chain is
+    semantically identical (verified by execution, SURVEY.md C4).
+    """
+    col = F.col(source_column)
+    expr: Column | None = None
+    for k, v in mapping.items():
+        cond = col == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    if expr is None:
+        return _col_spec(F.lit(default), source_column, is_column=True)
+    return _col_spec(expr.otherwise(F.lit(default)), source_column, is_column=True)
+
+
+def InvertBit(source_column: str) -> ColumnSpec:
+    """C5 — ``CASE WHEN c = 1 THEN 0 ELSE 1 END``; NULL → 1
+    (``mappr.js:191-202``). Deliberately NOT ``1 - c`` (would keep NULL)."""
+    col = F.col(source_column)
+    return _col_spec(
+        F.when(col == 1, F.lit(0)).otherwise(F.lit(1)), source_column, is_column=True
+    )
+
+
+def TruncateString(source_column: str, string_length: int) -> ColumnSpec:
+    """C6 — ``RTRIM(LEFT(c, n))`` then empty→NULL (``mappr.js:203-215``)."""
+    trimmed = F.rtrim(F.substring(F.col(source_column), 1, string_length))
+    return _col_spec(F.nullif(trimmed, F.lit("")), source_column, is_column=True)
+
+
+def ConcatColumns(columns: list[str], spacer: str = " ") -> ColumnSpec:
+    """C7 — NULL-safe concat with spacer + outer trim (``mappr.js:216-235``).
+
+    Every part is coalesced to ``''`` first: plain ``concat_ws`` *skips*
+    NULLs (dropping their spacer), while T-SQL emits the spacer around an
+    empty string — interior empties leave doubled spacers, and the outer
+    ``RTRIM(LTRIM(...))`` only strips outer whitespace.
+    """
+    parts = [F.coalesce(F.col(c), F.lit("")) for c in columns]
+    return ColumnSpec(
+        expr=F.trim(F.concat_ws(spacer, *parts)),
+        source_columns=tuple(columns),
+        is_columns=True,
+    )
+
+
+def CopyOrDefault(source_column: str, value: Any) -> ColumnSpec:
+    """C8 — empty-or-NULL → default (``mappr.js:271-282``).
+
+    T-SQL ``LEN`` ignores trailing spaces, so whitespace-only strings
+    count as empty — hence the ``rtrim`` before ``length``.
+    """
+    col = F.col(source_column)
+    empty = col.isNull() | (F.length(F.rtrim(col)) == 0)
+    return _col_spec(
+        F.when(empty, F.lit(value)).otherwise(col), source_column, is_column=True
+    )
+
+
+def CopyOrClear(source_column: str, value: Any = None) -> ColumnSpec:
+    """C9 — alias of C8 (``mappr.js:262-270`` delegates to CopyOrDefault)."""
+    return CopyOrDefault(source_column, value)
+
+
+def StaticHash(
+    value: Any, algorithm: str = "sha512", encoding: str = "base64"
+) -> ColumnSpec:
+    """C10 — hash a *static* value at plan-build time on the driver and
+    embed the digest as a literal (``mappr.js:236-246``). The per-row
+    variant would be ``F.sha2(col, 512)`` — explicitly not what the
+    reference does (verified by execution, SURVEY.md C10)."""
+    h = hashlib.new(algorithm, str(value).encode("utf-8"))
+    if encoding == "base64":
+        digest = base64.b64encode(h.digest()).decode("ascii")
+    elif encoding == "hex":
+        digest = h.hexdigest()
+    else:
+        raise ValueError(f"unsupported encoding {encoding!r}")
+    return ColumnSpec(expr=F.lit(digest))
+
+
+# canonical agg-name -> pyspark function; anything else goes through F.expr
+_AGG_FNS = {
+    "SUM": F.sum,
+    "COUNT": F.count,
+    "AVG": F.avg,
+    "MIN": F.min,
+    "MAX": F.max,
+}
+
+
+def AggregateColumn(source_column: str, aggregate: str) -> ColumnSpec:
+    """C11 — mark a column for aggregation under ``useGrouping``
+    (``mappr.js:134-142``). The compiler emits ``AGG(c) AS c`` inside the
+    grouped source (``tsql2008.js:235-238``) and the outer expression
+    references the aliased result — so ``expr`` is just the column ref."""
+    return _col_spec(
+        F.col(source_column),
+        source_column,
+        is_column=False,
+        aggregate=aggregate.upper(),
+    )
+
+
+def aggregate_expr(source_column: str, aggregate: str) -> Column:
+    """``AGG(col) AS col`` — the grouped-subquery side of C11."""
+    fn = _AGG_FNS.get(aggregate.upper())
+    if fn is not None:
+        return fn(F.col(source_column)).alias(source_column)
+    return F.expr(f"{aggregate}(`{source_column}`)").alias(source_column)
+
+
+_UNSET = object()
+
+
+def MergeOn(source_column: str | None = None, value: Any = _UNSET) -> ColumnSpec:
+    """C12 — merge-key marker, three forms (``mappr.js:167-190``,
+    classification ``tsql2008.js:197-209``):
+
+    - ``MergeOn('col')``        → ``ON D.dest = S.col``
+    - ``MergeOn(value=v)``      → ``ON D.dest = v``
+    - ``MergeOn(value=None)``   → ``ON D.dest IS NULL``
+    """
+    if source_column is not None:
+        return _col_spec(
+            F.col(source_column),
+            source_column,
+            is_column=True,
+            merge_on=MergeOnSpec(kind="column", source_column=source_column),
+        )
+    if value is _UNSET:
+        raise ValueError("MergeOn requires a source_column or a value")
+    if value is None:
+        return ColumnSpec(expr=F.lit(None), merge_on=MergeOnSpec(kind="null"))
+    return ColumnSpec(
+        expr=F.lit(value), merge_on=MergeOnSpec(kind="value", value=value)
+    )
+
+
+def ForeignKey(
+    source_column: str,
+    parent_table: str,
+    parent_column: str,
+    import_column: str,
+    filter_column: str | None = None,
+    filter_value: Any = None,
+    **_types: Any,
+) -> ColumnSpec:
+    """C13 — surrogate-key resolution (``mappr.js:283-307``).
+
+    The reference emits a scalar lookup function — row-by-row in SQL
+    Server. Spark-first this is a **broadcast left-outer equi-join**
+    against the parent, deduplicated on the import key first to preserve
+    the scalar-subquery "one arbitrary match" cardinality (SURVEY.md
+    §7.4). The compiler performs the join; this spec carries the lookup
+    descriptor and an expression referencing the join-output column.
+
+    ``parentType`` / ``importType`` / ``filterType`` from the reference
+    signature are accepted and ignored (types are carried by the data).
+    """
+    lk = FkLookup(
+        parent_table=parent_table,
+        parent_column=parent_column,
+        import_column=import_column,
+        filter_column=filter_column,
+        filter_value=filter_value,
+    )
+    return ColumnSpec(
+        expr=F.col(lk.output_column),
+        source_columns=(source_column,),
+        is_column=True,
+        lookups=(lk,),
+    )
+
+
+def SqlFunction(
+    name: str, columns: list[str] | None = None, raws: list[Any] | None = None
+) -> ColumnSpec:
+    """C14 — arbitrary scalar fn call ``name(c1, …, 'raw1', …)``
+    (``mappr.js:308-329``). Resolved by Spark SQL, so builtins stay
+    JVM-side; registered UDFs also resolve by name."""
+    cols = list(columns or [])
+    args = [f"`{c}`" for c in cols] + [
+        f"'{r}'" if isinstance(r, str) else repr(r) for r in (raws or [])
+    ]
+    return ColumnSpec(
+        expr=F.expr(f"{name}({', '.join(args)})"),
+        source_columns=tuple(cols),
+        is_columns=bool(cols),
+    )
+
+
+def Sql(
+    sql: str,
+    columns: list[str] | None = None,
+    source_column: str | None = None,
+    dialect: str = "spark",
+) -> ColumnSpec:
+    """C15 — raw SQL expression passthrough (``mappr.js:330-351``).
+
+    ``columns`` / ``source_column`` are the optional GROUP-BY-inference
+    hints the reference supports. ``dialect='tsql'`` runs the lexical
+    T-SQL shim (GETDATE → current_timestamp, [brackets] → backquotes).
+    """
+    text = tsql_compat.translate(sql) if dialect == "tsql" else sql
+    if source_column is not None:
+        return _col_spec(F.expr(text), source_column, is_column=True)
+    if columns:
+        return ColumnSpec(
+            expr=F.expr(text), source_columns=tuple(columns), is_columns=True
+        )
+    return ColumnSpec(expr=F.expr(text))

@@ -1,0 +1,142 @@
+"""Merge-operator matrix tests (T5/T6): the full-outer-join decomposition
+across matched/insert/keep × insert_only/update_only/merge_pk, plus the
+duplicate-key guard and literal/NULL merge-on forms."""
+
+from __future__ import annotations
+
+import pytest
+
+from dirty_js_etl_spark.operators.merge import (
+    DuplicateMergeKeysError,
+    MergeKey,
+    merge_into_sql,
+    merge_upsert,
+)
+
+
+@pytest.fixture()
+def frames(spark):
+    dest = spark.createDataFrame(
+        [(1, "old1", "keep1"), (2, "old2", "keep2")],
+        "k int, v string, extra string",
+    )
+    src = spark.createDataFrame([(2, "new2"), (3, "new3")], "k int, v string")
+    return dest, src
+
+
+KEYS = [MergeKey("k")]
+
+
+def rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def test_full_merge(spark, frames):
+    dest, src = frames
+    mr = merge_upsert(dest, src, KEYS)
+    assert rows(mr.result) == [
+        (1, "old1", "keep1"),  # dest-only kept
+        (2, "new2", "keep2"),  # matched: updated, unmapped col kept
+        (3, "new3", None),  # inserted: unmapped col NULL
+    ]
+    assert sorted((r["_action"], r["k"]) for r in mr.audit.collect()) == [
+        ("INSERT", 3),
+        ("UPDATE", 2),
+    ]
+
+
+def test_insert_only(spark, frames):
+    dest, src = frames
+    mr = merge_upsert(dest, src, KEYS, insert_only=True)
+    assert rows(mr.result) == [
+        (1, "old1", "keep1"),
+        (2, "old2", "keep2"),  # MATCHED suppressed -> dest kept
+        (3, "new3", None),
+    ]
+    assert [(r["_action"], r["k"]) for r in mr.audit.collect()] == [("INSERT", 3)]
+
+
+def test_update_only(spark, frames):
+    dest, src = frames
+    mr = merge_upsert(dest, src, KEYS, update_only=True)
+    assert rows(mr.result) == [
+        (1, "old1", "keep1"),
+        (2, "new2", "keep2"),  # updated; no insert of k=3
+    ]
+    assert [(r["_action"], r["k"]) for r in mr.audit.collect()] == [("UPDATE", 2)]
+
+
+def test_merge_pk_protected(spark, frames):
+    dest, src = frames
+    mr = merge_upsert(dest, src, KEYS, merge_pk=("v",))
+    assert rows(mr.result) == [
+        (1, "old1", "keep1"),
+        (2, "old2", "keep2"),  # v excluded from UPDATE SET
+        (3, "new3", None),  # insert still gets source v
+    ]
+
+
+def test_duplicate_source_keys_raise(spark):
+    dest = spark.createDataFrame([(1, "a")], "k int, v string")
+    src = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    with pytest.raises(DuplicateMergeKeysError):
+        merge_upsert(dest, src, KEYS, validate_keys=True)
+
+
+def test_value_and_column_keys(spark):
+    # ON D.k = S.k AND D.kind = 'x' (tsql2008.js:197-209 value form)
+    dest = spark.createDataFrame(
+        [(1, "x", "old"), (1, "y", "other")], "k int, kind string, v string"
+    )
+    src = spark.createDataFrame([(1, "x", "new")], "k int, kind string, v string")
+    mr = merge_upsert(dest, src, [MergeKey("k"), MergeKey("kind", kind="value", value="x")])
+    assert rows(mr.result) == [(1, "x", "new"), (1, "y", "other")]
+
+
+def test_null_form_key(spark):
+    # ON D.k = S.k AND D.flag IS NULL
+    dest = spark.createDataFrame(
+        [(1, None, "old"), (1, "set", "other")], "k int, flag string, v string"
+    )
+    src = spark.createDataFrame([(1, None, "new")], "k int, flag string, v string")
+    mr = merge_upsert(
+        dest, src, [MergeKey("k"), MergeKey("flag", kind="null")], merge_pk=("flag",)
+    )
+    assert rows(mr.result) == [(1, "set", "other"), (1, None, "new")]
+
+
+def test_source_superset_raises(spark, frames):
+    dest, _ = frames
+    src = spark.createDataFrame([(1, "a", 1.0)], "k int, v string, unknown double")
+    with pytest.raises(ValueError, match="unknown"):
+        merge_upsert(dest, src, KEYS)
+
+
+def test_flags_mutually_exclusive(spark, frames):
+    dest, src = frames
+    with pytest.raises(ValueError):
+        merge_upsert(dest, src, KEYS, insert_only=True, update_only=True)
+
+
+def test_broadcast_source_same_result(spark, frames):
+    dest, src = frames
+    a = merge_upsert(dest, src, KEYS)
+    b = merge_upsert(dest, src, KEYS, broadcast_source=True)
+    assert rows(a.result) == rows(b.result)
+
+
+def test_merge_into_sql_render():
+    sql = merge_into_sql(
+        "delta.users",
+        "src_view",
+        [MergeKey("k")],
+        ["k", "v"],
+        merge_pk=("k",),
+    )
+    assert "MERGE INTO delta.users AS D" in sql
+    assert "ON D.`k` = S.`k`" in sql
+    assert "UPDATE SET D.`v` = S.`v`" in sql
+    assert "INSERT (`k`, `v`)" in sql
