@@ -20,6 +20,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class Catalog:
@@ -77,5 +78,20 @@ FIXTURE_TABLES = [
 
 
 def fixture_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
-    """Catalog over one driver fixture directory (TESTDATA.md)."""
-    return Catalog(spark, root=sf_dir)
+    """Catalog over one driver fixture directory (TESTDATA.md).
+
+    ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default; the events loader flips the
+    ``nanosAsLong`` escape hatch and rebuilds a micros timestamp (matching
+    DuckDB, which truncates nanos to micros on read)."""
+    cat = Catalog(spark, root=sf_dir)
+
+    def _load_events() -> DataFrame:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+
+    cat.register_loader("events", _load_events)
+    return cat

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode/feature-extract as Arrow-batched Pandas operations over
+``mapInPandas`` (north-star M4).
+
+The container has no image/audio libraries, so the *decode kernels* are
+stubbed two ways (both clearly marked):
+
+- :func:`decode_image_stub` raises ``NotImplementedError`` — the seam
+  where Pillow/torchvision/ffmpeg plugs in on a real cluster;
+- :func:`fake_decode_image` is a deterministic fake (derives "width" /
+  "height" / "format" from the bytes) so the Spark-side plumbing —
+  schema, Arrow batch shapes, partitioning, UDF signature — is real and
+  tested end-to-end.
+
+Scale notes: payloads stay opaque ``binary`` columns end-to-end (never
+stringified); ``mapInPandas`` streams Arrow record batches so peak memory
+is one batch per core, not one partition; decode is map-only (no
+shuffle); metadata lives in a sibling struct so pruning a metadata-only
+query never touches the bytes (columnar parquet reads skip the blob
+column entirely).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+DECODED_IMAGE_SCHEMA = (
+    "doc_id bigint, byte_len bigint, width int, height int, format string"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", media_type: str = "image/fake"
+) -> DataFrame:
+    """Demo payload builder: encodes the text column as the opaque binary
+    blob (fixtures ship no real media) + the typed metadata struct every
+    multimodal row carries."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.length(payload).cast("long").alias("byte_len"),
+            F.md5(payload).alias("checksum"),
+        ),
+    )
+
+
+def decode_image_stub(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """REAL-DECODE SEAM — intentionally unimplemented in this container.
+
+    On a cluster with Pillow installed, replace the body with
+    ``PIL.Image.open(io.BytesIO(b))`` per payload and return the same
+    schema as :func:`fake_decode_image`.
+    """
+    raise NotImplementedError(
+        "image decode requires Pillow/libvips, not present in this container; "
+        "use fake_decode_image for plumbing tests"
+    )
+
+
+def fake_decode_image(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """DETERMINISTIC FAKE decode kernel (mapInPandas signature).
+
+    Derives pseudo width/height from byte length — stands in for a real
+    decoder so batch shape, schema, and distribution are exercised.
+    """
+    for pdf in batches:
+        lens = pdf["payload"].map(len)
+        yield type(pdf)(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": lens,
+                "width": (lens % 640).astype("int32"),
+                "height": (lens % 480).astype("int32"),
+                "format": "FAKE",
+            }
+        )
+
+
+def decode_images(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """Decode the payload column into image metadata via Arrow-batched
+    ``mapInPandas``. ``use_real_decoder=True`` hits the unimplemented
+    seam (raises at execution time in this container)."""
+    if use_real_decoder:
+        def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in batches:
+                yield decode_image_stub(pdf)
+    else:
+        kernel = fake_decode_image
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+def media_metadata_only(df: DataFrame) -> DataFrame:
+    """Metadata projection — never touches the payload bytes (column
+    pruning drops the blob at the parquet scan)."""
+    return df.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )

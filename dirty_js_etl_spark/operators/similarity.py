@@ -1,0 +1,226 @@
+"""Embedding similarity search: brute-force cosine top-k (exact baseline)
+and random-hyperplane LSH bucketing (the scale path). North-star M4.
+
+Scale design:
+
+- Query sets are small by nature → **broadcast the queries**, stream the
+  corpus: the corpus never shuffles, the whole scoring stage is map-only
+  over corpus partitions, and the only shuffle is the final per-query
+  top-k (tiny: k rows per partition after partial ranking).
+- Dot products are ``zip_with`` + ``aggregate`` double expressions —
+  JVM-side, codegen'd; floats are cast to double *before* multiplying so
+  scores are bit-deterministic and engine-comparable.
+- The LSH variant is multi-table (OR-amplified) random-hyperplane
+  hashing: ``n_tables`` independent tables of ``bits_per_table`` sign
+  bits each (driver-side seeded numpy planes embedded as literal
+  arrays). A pair is a candidate if it collides in ANY table — recall
+  amplifies as 1-(1-p^b)^L while per-table pruning stays 2^b. More bits
+  → more pruning; more tables → more recall. The post-join shuffle is
+  proportional to the *candidate* set, not the corpus.
+- Exact top-k uses ``row_number`` over (score desc, id) — total order, no
+  ties ambiguity, stable across engines given the deterministic scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score, rank).
+
+    Broadcast-join the (small) query set against the streamed corpus;
+    self-matches excluded. Scores rounded before ranking so rank order is
+    reproducible across engines; ties broken by neighbor id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cnorm", l2_norm(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", l2_norm(F.col("qvec")))
+
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                round_digits,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup dedup).
+    Exact O(n²/2) scoring — the correctness baseline; at corpus scale use
+    :func:`lsh_topk`'s bucketing to prune, identical verify step."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va")
+    ).withColumn("na", l2_norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", l2_norm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _random_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def table_buckets(
+    vec: Column, planes: list[list[float]], n_tables: int, bits_per_table: int
+) -> Column:
+    """Array of (table, bucket) structs — one sign-bit bucket per table.
+
+    Table ``t`` owns planes ``[t*b, (t+1)*b)``; bucket bit ``i`` is
+    ``dot(v, plane) > 0``. All JVM-side expressions (no UDF)."""
+    entries = []
+    for t in range(n_tables):
+        bucket: Column = F.lit(0)
+        for i in range(bits_per_table):
+            plane = planes[t * bits_per_table + i]
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << i)).otherwise(
+                F.lit(0)
+            )
+        entries.append(
+            F.struct(F.lit(t).alias("t"), bucket.alias("b"))
+        )
+    return F.array(*entries)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_tables: int = 16,
+    bits_per_table: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    Every row hashes to one bucket per table (map-only projection over
+    the corpus — the corpus itself never shuffles); a (query, neighbor)
+    pair becomes a candidate iff the buckets match in at least one table
+    (OR-amplification: recall = 1-(1-p^b)^L where p = 1-θ/π). The join
+    against the exploded, broadcast query probes prunes the candidate
+    set ~2^b-fold per table before the exact cosine verify + rank, and
+    the only shuffle (the distinct + window) is over *candidates*, not
+    the corpus. Same output schema as :func:`brute_force_topk`; recall
+    < 1.0 by construction.
+
+    Defaults (L=16, b=4) are tuned for the adversarial case of weakly
+    similar neighbors (cos ≈ 0.3 → ~0.88 recall). For real clustered
+    corpora (near-dup cos ≥ 0.8) use ``bits_per_table=8..12`` for far
+    stronger pruning at the same recall.
+    """
+    planes = _random_planes(n_tables * bits_per_table, dim, seed)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cvec"),
+        )
+        .withColumn("cnorm", l2_norm(F.col("cvec")))
+        .withColumn(
+            "tb",
+            F.explode(
+                table_buckets(F.col("cvec"), planes, n_tables, bits_per_table)
+            ),
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qvec"),
+        )
+        .withColumn("qnorm", l2_norm(F.col("qvec")))
+        .withColumn(
+            "tb",
+            F.explode(
+                table_buckets(F.col("qvec"), planes, n_tables, bits_per_table)
+            ),
+        )
+    )
+
+    scored = (
+        c.join(F.broadcast(q), ["tb"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score")
+        .distinct()  # a (q, n) pair can collide in several tables
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

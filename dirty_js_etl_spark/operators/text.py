@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines (north-star M4).
+
+No reference analog (the reference is relational-only, SURVEY.md §2.3);
+these are the document-pipeline primitives a 100 TB corpus needs:
+normalization, tokenization, quality scoring, language id, fingerprints.
+
+Everything is built from ``pyspark.sql.functions`` expressions — no
+Python UDFs — so the whole module runs inside whole-stage codegen and
+scales as a pure projection (no shuffle at all; map-only over the
+document partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword-hit heuristic
+# language id. Deliberately tiny and deterministic; order is the
+# tie-break priority.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+    "zh": ("的", "了", "是"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase + trim + collapse internal whitespace runs."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """whitespace tokenization of the normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-ish proxy: split on word boundaries AND punctuation so
+    'don't' counts 3 — the regex analog of byte-pair pre-tokenization."""
+    toks = F.split(F.trim(col), r"[\s\p{Punct}]+")
+    return F.size(F.filter(toks, lambda t: F.length(t) > 0))
+
+
+def _count_matching(col: Column, char_set: str) -> Column:
+    """#chars in a character set = length after deleting everything else.
+
+    ``char_set`` is the *inside* of a character class (e.g. ``A-Za-z``)."""
+    return F.length(F.regexp_replace(col, f"[^{char_set}]", ""))
+
+
+def text_stats(col: Column) -> dict[str, Column]:
+    """Quality-signal feature columns (each a plain codegen expression).
+
+    Ratios divide by ``n_chars`` guarded to >=1 so empty docs yield 0.0
+    rather than a division error under ANSI mode.
+    """
+    n_chars = F.length(col)
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    toks = tokens(col)
+    n_tokens = F.size(toks)
+    tok_denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    n_alpha = _count_matching(col, "A-Za-z")
+    n_digit = _count_matching(col, "0-9")
+    n_space = _count_matching(col, r"\s")
+    n_punct = n_chars - n_alpha - n_digit - n_space
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": n_alpha / denom,
+        "digit_ratio": n_digit / denom,
+        "punct_ratio": n_punct.cast("double") / denom,
+        "stopword_ratio": n_stop / tok_denom,
+        "avg_token_len": (n_chars - n_space) / tok_denom,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Scalar quality score in [0,1]: alpha-heavy, stopword-bearing,
+    mid-length docs score high — the standard cheap pre-filter shape."""
+    s = text_stats(col)
+    length_ok = (
+        F.when((s["n_chars"] >= 50) & (s["n_chars"] <= 10000), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return F.round(
+        s["alpha_ratio"] * 0.4
+        + s["stopword_ratio"] * 0.3
+        + length_ok * 0.3,
+        6,
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of marker-stopword hits; declaration order breaks ties,
+    'und' (undetermined) when nothing matches."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in langs:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Exact-dup detection key; oracle-friendly (md5 agrees across engines)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_rolling(col: Column, window: int = 8) -> Column:
+    """Rolling-hash fingerprint: min of xxhash64 over character
+    ``window``-grams of the normalized text (a 1-perm minhash — the
+    winnowing-style content fingerprint). Pure array expressions."""
+    norm = normalize_text(col)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(window))))
+    return F.array_min(grams)
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature bundle — the one-call entry point."""
+    col = F.col(text_col)
+    s = text_stats(col)
+    return (
+        df.withColumn("n_tokens", s["n_tokens"])
+        .withColumn("alpha_ratio", F.round(s["alpha_ratio"], 6))
+        .withColumn("stopword_ratio", F.round(s["stopword_ratio"], 6))
+        .withColumn("quality", quality_score(col))
+        .withColumn("lang_pred", lang_id(col))
+        .withColumn("fingerprint", fingerprint_md5(col))
+    )

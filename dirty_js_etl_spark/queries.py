@@ -610,3 +610,334 @@ def t11_idempotent_merge(spark, sf_dir):
     cat = _users_cat(spark, sf_dir)
     pipe = Pipeline(passes=2).use_mapping(users_mapping())
     return pipe.run(cat)["users"].result
+
+
+# ---------------------------------------------------------------------------
+# M4 extensions: dedup / similarity / text analysis / events / multimodal
+# (SURVEY.md §2.3 extension rows; BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+# normalized text, both engines: lower + trim + collapse whitespace
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "x1_dedup_exact",
+    f"SELECT md5({_NORM_SQL}) AS dedup_key, "
+    "CAST(min(doc_id) AS BIGINT) AS keeper_id, "
+    "CAST(count(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY 1",
+)
+def x1_dedup_exact(spark, sf_dir):
+    from dirty_js_etl_spark.operators.dedup import dedup_exact_groups
+    from dirty_js_etl_spark.operators.text import fingerprint_md5
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return dedup_exact_groups(docs, fingerprint_md5(F.col("text")), "doc_id")
+
+
+@register(
+    "x2_token_count",
+    f"SELECT doc_id, CAST(length(string_split({_NORM_SQL}, ' ')) AS INT) AS n_tokens "
+    "FROM documents",
+)
+def x2_token_count(spark, sf_dir):
+    from dirty_js_etl_spark.operators.text import token_count
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "x3_text_quality",
+    """
+WITH feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CAST(greatest(length(text), 1) AS DOUBLE) AS denom,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), feat2 AS (
+  SELECT doc_id, n_chars, n_alpha / denom AS alpha_ratio,
+         len(list_filter(toks, t -> list_contains(
+            ['the','a','an','and','or','of','to','in','is','it'], t)))
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+  FROM feat
+)
+SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio * 0.4 + stopword_ratio * 0.3 +
+             (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3,
+             6) AS quality
+FROM feat2
+""",
+)
+def x3_text_quality(spark, sf_dir):
+    from dirty_js_etl_spark.operators.text import quality_score, text_stats
+
+    docs = _cat(spark, sf_dir).read("documents")
+    col = F.col("text")
+    s = text_stats(col)
+    return docs.select(
+        "doc_id",
+        F.round(s["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(s["stopword_ratio"], 6).alias("stopword_ratio"),
+        quality_score(col).alias("quality"),
+    )
+
+
+# language-id oracle mirrors LANG_MARKERS + declaration-order tie-break
+_X4_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+    len(list_filter(w, t -> list_contains(['the','a','and','of','is'], t))) AS s_en,
+    len(list_filter(w, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+    len(list_filter(w, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr,
+    len(list_filter(w, t -> list_contains(['el','los','las','y','es'], t))) AS s_es,
+    len(list_filter(w, t -> list_contains(['的','了','是'], t))) AS s_zh
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) <= 0 THEN 'und'
+       WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+       WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+       WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+       WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+       ELSE 'zh' END AS lang_pred
+FROM scores
+"""
+
+
+@register("x4_lang_id", _X4_SQL)
+def x4_lang_id(spark, sf_dir):
+    from dirty_js_etl_spark.operators.text import lang_id
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+# exact n-gram Jaccard near-dup pairs — fully SQL-expressible, so the
+# oracle verifies both candidate generation and the Jaccard math
+_X5_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), shingles AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3 + 1, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM words
+), capped AS (
+  SELECT g FROM shingles GROUP BY g HAVING count(*) <= 1000
+), kept AS (
+  SELECT s.doc_id, s.g FROM shingles s JOIN capped c ON s.g = c.g
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5
+"""
+
+
+@register("x5_ngram_jaccard_pairs", _X5_SQL)
+def x5_ngram_jaccard_pairs(spark, sf_dir):
+    from dirty_js_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                               jaccard_threshold=0.5)
+
+
+@register("x6_minhash_lsh_pairs", None)  # approximate -> rows-only check
+def x6_minhash_lsh_pairs(spark, sf_dir):
+    from dirty_js_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
+
+
+@register("x7_simhash_pairs", None)  # approximate -> rows-only check
+def x7_simhash_pairs(spark, sf_dir):
+    from dirty_js_etl_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_X8_SQL = """
+WITH c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_cosine_similarity(c.v, q.v), 6) AS score
+  FROM c, q WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@register("x8_embedding_topk", _X8_SQL)
+def x8_embedding_topk(spark, sf_dir):
+    from dirty_js_etl_spark.operators.similarity import brute_force_topk
+
+    emb = _cat(spark, sf_dir).read("embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+@register(
+    "x9_embedding_near_dup",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+""",
+)
+def x9_embedding_near_dup(spark, sf_dir):
+    from dirty_js_etl_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _cat(spark, sf_dir).read("embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@register("x10_similarity_lsh_topk", None)  # approximate -> rows-only
+def x10_similarity_lsh_topk(spark, sf_dir):
+    from dirty_js_etl_spark.operators.similarity import lsh_topk
+
+    emb = _cat(spark, sf_dir).read("embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+@register(
+    "x11_events_json",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val "
+    "FROM events",
+)
+def x11_events_json(spark, sf_dir):
+    from dirty_js_etl_spark.operators.events import extract_props
+
+    events = _cat(spark, sf_dir).read("events")
+    out = extract_props(events, {"k_val": "k"})
+    return out.select("event_id", F.col("k_val").cast("int").alias("k_val"))
+
+
+_X12_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(user_id * 1000000 + session_seq AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+@register("x12_sessionize", _X12_SQL)
+def x12_sessionize(spark, sf_dir):
+    from dirty_js_etl_spark.operators.events import session_stats
+
+    events = _cat(spark, sf_dir).read("events")
+    return session_stats(events, gap_minutes=30)
+
+
+_X13_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("x13_hourly_rollup", _X13_SQL)
+def x13_hourly_rollup(spark, sf_dir):
+    from dirty_js_etl_spark.operators.events import hourly_rollup
+
+    events = _cat(spark, sf_dir).read("events")
+    return hourly_rollup(events)
+
+
+@register("x14_streaming_rollup", _X13_SQL)
+def x14_streaming_rollup(spark, sf_dir):
+    # same oracle as the batch rollup: the streaming path must converge to
+    # the batch answer once the finite source drains (tumbling windows
+    # align with date_trunc('hour'))
+    import itertools
+
+    from dirty_js_etl_spark.streaming.events import run_stream_to_memory
+
+    name = f"events_rollup_{next(_STREAM_COUNTER)}"
+    return run_stream_to_memory(spark, sf_dir, query_name=name)
+
+
+import itertools as _it
+
+_STREAM_COUNTER = _it.count()
+
+
+@register(
+    "x15_multimodal_meta",
+    "SELECT doc_id, 'image/fake' AS media_type, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+    "md5(text) AS checksum FROM documents",
+)
+def x15_multimodal_meta(spark, sf_dir):
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        media_metadata_only,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return media_metadata_only(attach_binary_payload(docs))
+
+
+@register(
+    "x16_multimodal_decode",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
+    "CAST(octet_length(encode(text)) % 640 AS INT) AS width, "
+    "CAST(octet_length(encode(text)) % 480 AS INT) AS height, "
+    "'FAKE' AS format FROM documents",
+)
+def x16_multimodal_decode(spark, sf_dir):
+    # deterministic-fake decode kernel through real mapInPandas plumbing
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_images,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return decode_images(attach_binary_payload(docs))

@@ -1,0 +1,90 @@
+"""Structured Streaming over the events table (extension surface).
+
+The reference is strictly batch script generation (SURVEY.md §2.3 —
+streaming: absent); the ``events`` fixture is the driver's designated
+stream stand-in. This module runs the *same* rollup logic as
+``operators/events.hourly_rollup`` through ``readStream``/``writeStream``
+with a watermark, so batch and streaming answers are comparable.
+
+On a cluster the source swaps to Kafka/files-on-arrival and the sink to
+Delta/foreachBatch; watermark + append mode bound state for late data —
+state per (window, event_type) only lives until watermark passes the
+window end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the fixture parquet stores ts as TIMESTAMP(NANOS); streamed in as long
+# nanos (nanosAsLong) and rebuilt as a micros timestamp, matching the
+# batch catalog loader
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture parquet (maxFilesPerTrigger=1
+    keeps micro-batches deterministic in tests)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # glob form: FileStreamSource requires a directory-or-glob path; the
+    # bare file path is rejected ("basePath must be a directory")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.*")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums with late-data watermark —
+    the streaming twin of operators/events.hourly_rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, sf_dir: str, query_name: str = "events_rollup"
+) -> DataFrame:
+    """Drive the stream to completion synchronously (memory sink +
+    processAllAvailable) and return the result table — lets the batch
+    oracle check the streaming path. Complete output mode because the
+    fixture is a single finite file (watermark never advances past it)."""
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        windowed_rollup(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

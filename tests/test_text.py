@@ -1,0 +1,80 @@
+"""Text-operator tests: normalization, token counts, quality features,
+language id on constructed inputs with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint_md5,
+    fingerprint_rolling,
+    lang_id,
+    normalize_text,
+    quality_score,
+    text_stats,
+    token_count,
+    with_text_features,
+)
+
+
+def _one(spark, expr, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("out")).collect()[0]["out"]
+
+
+def test_normalize(spark):
+    assert _one(spark, normalize_text(F.col("text")), "  Hello   WORLD \n x ") == (
+        "hello world x"
+    )
+
+
+def test_token_count(spark):
+    assert _one(spark, token_count(F.col("text")), "a b  c") == 3
+
+
+def test_bpe_ish_token_count(spark):
+    # punctuation splits: "don't stop!" -> don / t / stop
+    assert _one(spark, bpe_ish_token_count(F.col("text")), "don't stop!") == 3
+
+
+def test_text_stats_ratios(spark):
+    s = text_stats(F.col("text"))
+    assert _one(spark, s["alpha_ratio"], "abcd12!?") == pytest.approx(0.5)
+    assert _one(spark, s["digit_ratio"], "abcd12!?") == pytest.approx(0.25)
+    assert _one(spark, s["stopword_ratio"], "the cat and dog") == pytest.approx(0.5)
+
+
+def test_quality_score_bounds(spark, catalog):
+    docs = catalog.read("documents")
+    mm = docs.select(
+        F.min(quality_score(F.col("text"))).alias("lo"),
+        F.max(quality_score(F.col("text"))).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= mm["lo"] <= mm["hi"] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, lang_id(F.col("text")), "the cat is on the mat") == "en"
+    assert _one(spark, lang_id(F.col("text")), "der hund und die katze ist") == "de"
+    assert _one(spark, lang_id(F.col("text")), "le chat et la maison est") == "fr"
+    assert _one(spark, lang_id(F.col("text")), "el perro y los gatos es") == "es"
+    assert _one(spark, lang_id(F.col("text")), "zzz qqq xxx") == "und"
+
+
+def test_fingerprints_stable_under_whitespace(spark):
+    a = _one(spark, fingerprint_md5(F.col("text")), "Hello   World")
+    b = _one(spark, fingerprint_md5(F.col("text")), " hello world ")
+    assert a == b
+    ra = _one(spark, fingerprint_rolling(F.col("text")), "Hello   World")
+    rb = _one(spark, fingerprint_rolling(F.col("text")), " hello world ")
+    assert ra == rb
+
+
+def test_with_text_features_bundle(spark, catalog):
+    docs = catalog.read("documents").limit(20)
+    out = with_text_features(docs)
+    assert {"n_tokens", "alpha_ratio", "stopword_ratio", "quality", "lang_pred",
+            "fingerprint"} <= set(out.columns)
+    assert out.count() == 20
