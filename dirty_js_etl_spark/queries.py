@@ -32,6 +32,7 @@ from dirty_js_etl_spark.functions.combinators import (
     CaseMap,
     CastAs,
     ConcatColumns,
+    CopyOrClear,
     CopyOrDefault,
     DirectCopy,
     ForeignKey,
@@ -306,6 +307,24 @@ def c8_copy_or_default(spark, sf_dir):
     return _project(spec, spark, sf_dir)
 
 
+@register(
+    "c9_copy_or_clear",
+    "SELECT c_custkey AS custkey, "
+    "CASE WHEN c_mktsegment IS NULL OR length(rtrim(c_mktsegment)) = 0 "
+    "THEN NULL ELSE c_mktsegment END AS seg FROM customer",
+)
+def c9_copy_or_clear(spark, sf_dir):
+    # C9 is C8 with a NULL default ("clear"): empty-or-null -> NULL
+    spec = _select_spec(
+        {
+            "custkey": DirectCopy("c_custkey"),
+            "seg": CopyOrClear("c_mktsegment"),
+        },
+        "customer",
+    )
+    return _project(spec, spark, sf_dir)
+
+
 # StaticHash: digest computed driver-side at plan-build time (C10) — the
 # oracle embeds the same literal, proving the generation-time semantics.
 _C10_DIGEST = "2a1b5084e9c310025c1b3c574a4d8e0f"
@@ -551,6 +570,98 @@ def t5_merge_pk(spark, sf_dir):
     return _run_users(spark, sf_dir, merge_pk=("tag",)).result
 
 
+# C12's literal-value and IS-NULL MergeOn forms (tsql2008.js:197-209):
+# the ON clause compares the DEST column against a literal / NULL, while
+# the column's own source expression (the literal) still lands in the
+# UPDATE SET and INSERT VALUES lists exactly like the golden's merge-on
+# column does (test.sql:63,89).
+
+_C12V_SQL = """
+WITH dest AS (
+  SELECT r_regionkey AS k, lower(r_name) AS nm,
+         CASE WHEN r_regionkey < 2 THEN 'LOCKED' ELSE 'ACTIVE' END AS status
+  FROM region
+), src AS (
+  SELECT r_regionkey AS k, r_name AS nm, 'ACTIVE' AS status FROM region
+)
+SELECT
+  CASE WHEN s.k IS NOT NULL THEN s.k ELSE d.k END AS k,
+  CASE WHEN s.k IS NOT NULL THEN s.nm ELSE d.nm END AS nm,
+  CASE WHEN s.k IS NOT NULL THEN s.status ELSE d.status END AS status
+FROM dest d FULL OUTER JOIN src s ON d.k = s.k AND d.status = 'ACTIVE'
+"""
+
+
+@register("c12_merge_on_value", _C12V_SQL)
+def c12_merge_on_value(spark, sf_dir):
+    # ON D.status = 'ACTIVE' AND D.k = S.k: LOCKED dest rows never match,
+    # so their source rows fall through to INSERT — the literal form
+    # actually gates matching here.
+    cat = _cat(spark, sf_dir)
+    r = cat.read("region")
+    cat.register(
+        "region_status",
+        r.select(
+            F.col("r_regionkey").alias("k"),
+            F.lower(F.col("r_name")).alias("nm"),
+            F.when(F.col("r_regionkey") < 2, F.lit("LOCKED"))
+            .otherwise(F.lit("ACTIVE"))
+            .alias("status"),
+        ),
+    )
+    spec = MappingSpec(
+        destination="region_status",
+        source="region",
+        use_merge=True,
+        columns={
+            "k": MergeOn("r_regionkey"),
+            "nm": DirectCopy("r_name"),
+            "status": MergeOn(value="ACTIVE"),
+        },
+    )
+    return run_mapping(spec, cat).result
+
+
+_C12N_SQL = """
+WITH dest AS (
+  SELECT r_regionkey AS k,
+         CASE WHEN r_regionkey % 2 = 0 THEN NULL ELSE 'kept' END AS tag
+  FROM region
+), src AS (SELECT r_regionkey AS k FROM region)
+SELECT CASE WHEN s.k IS NOT NULL THEN s.k ELSE d.k END AS k,
+       CASE WHEN s.k IS NOT NULL THEN NULL ELSE d.tag END AS tag
+FROM dest d FULL OUTER JOIN src s ON d.k = s.k AND d.tag IS NULL
+"""
+
+
+@register("c12_merge_on_null", _C12N_SQL)
+def c12_merge_on_null(spark, sf_dir):
+    # ON D.tag IS NULL AND D.k = S.k: only unnamed (NULL-tag) dest slots
+    # match; everything else inserts. The merge-on column's expression is
+    # the NULL literal, emitted into SET/VALUES as in the reference.
+    cat = _cat(spark, sf_dir)
+    r = cat.read("region")
+    cat.register(
+        "region_tag",
+        r.select(
+            F.col("r_regionkey").alias("k"),
+            F.when(F.col("r_regionkey") % 2 == 0, F.lit(None))
+            .otherwise(F.lit("kept"))
+            .alias("tag"),
+        ),
+    )
+    spec = MappingSpec(
+        destination="region_tag",
+        source="region",
+        use_merge=True,
+        columns={
+            "k": MergeOn("r_regionkey"),
+            "tag": MergeOn(value=None),
+        },
+    )
+    return run_mapping(spec, cat).result
+
+
 @register(
     "t6_audit",
     _USERS_CTE
@@ -582,6 +693,22 @@ def t7_insert_select(spark, sf_dir):
     # become NULL like an INSERT with a partial column list
     cat = _users_cat(spark, sf_dir)
     return run_mapping(users_mapping(use_merge=False), cat).result
+
+
+@register(
+    "t8_truncate",
+    _USERS_CTE
+    + """
+SELECT s.*, CAST(NULL AS VARCHAR) AS legacy_note FROM src s
+""",
+)
+def t8_truncate(spark, sf_dir):
+    # truncate cleanup (T8) empties the destination before the non-merge
+    # append — the result is exactly the projected source (merge tables
+    # skip cleanup, emitted commented-out: tsql2008.js:89)
+    cat = _users_cat(spark, sf_dir)
+    pipe = Pipeline().use_mapping(users_mapping(use_merge=False, truncate=True))
+    return pipe.run(cat)["users"].result
 
 
 @register(
