@@ -1036,6 +1036,17 @@ import itertools as _it
 _STREAM_COUNTER = _it.count()
 
 
+@register("x17_stateful_sessionize", _X12_SQL)
+def x17_stateful_sessionize(spark, sf_dir):
+    # custom stateful operator (applyInPandasWithState): per-user gap
+    # sessions carried across micro-batches; converges to the batch
+    # sessionize oracle when the finite stream drains
+    from dirty_js_etl_spark.streaming.sessions import run_sessionize_stream
+
+    name = f"sessions_stream_{next(_STREAM_COUNTER)}"
+    return run_sessionize_stream(spark, sf_dir, query_name=name)
+
+
 @register(
     "x15_multimodal_meta",
     "SELECT doc_id, 'image/fake' AS media_type, "
