@@ -126,6 +126,124 @@ def _random_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means on a bounded, deterministic driver-side sample.
+
+    ``orderBy(id).limit(sample_size)`` is a distributed take-ordered (each
+    partition contributes its local top — no full sort), so training cost
+    is independent of corpus size; only the tiny sample ever reaches the
+    driver. Centroids are unit-normalized (spherical k-means: assignment
+    by max dot product == max cosine)."""
+    import numpy as np
+
+    sample = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    x = np.array([r["v"] for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent.tolist()
+
+
+def _centroid_dots(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    return [
+        dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids
+    ]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) partitioning.
+
+    Each corpus row is assigned to its nearest centroid cell (argmax dot —
+    a map-only JVM expression; the corpus never shuffles); each query
+    probes its ``n_probe`` nearest cells, so only ~n_probe/n_centroids of
+    the corpus is scored. Exact rescoring + rank on the candidates, same
+    output schema as :func:`brute_force_topk`.
+
+    Cells are disjoint, so unlike multi-table LSH no candidate dedup is
+    needed; the only shuffle is the per-query top-k over candidates.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=n_centroids, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cnorm", l2_norm(F.col("cvec")))
+    cdots = F.array(*_centroid_dots(F.col("cvec"), centroids))
+    # norm scaling doesn't change the argmax -> assign on raw dots
+    c = c.withColumn(
+        "cell", (F.array_position(cdots, F.array_max(cdots)) - 1).cast("int")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", l2_norm(F.col("qvec")))
+    qstructs = F.array(
+        *[
+            F.struct(d.alias("d"), F.lit(i).alias("i"))
+            for i, d in enumerate(_centroid_dots(F.col("qvec"), centroids))
+        ]
+    )
+    probes = F.transform(
+        F.slice(F.sort_array(qstructs, asc=False), 1, n_probe), lambda s: s["i"]
+    )
+    q = q.withColumn("cell", F.explode(probes))
+
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def table_buckets(
     vec: Column, planes: list[list[float]], n_tables: int, bits_per_table: int
 ) -> Column:

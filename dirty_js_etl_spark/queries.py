@@ -957,6 +957,14 @@ def x10_similarity_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
+@register("x18_ivf_topk", None)  # approximate -> rows-only check
+def x18_ivf_topk(spark, sf_dir):
+    from dirty_js_etl_spark.operators.similarity import ivf_topk
+
+    emb = _cat(spark, sf_dir).read("embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=10, n_probe=6)
+
+
 @register(
     "x11_events_json",
     "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val "

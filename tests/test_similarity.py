@@ -61,6 +61,25 @@ def test_lsh_recall_on_fixture(spark, catalog):
         assert e[pair] == a[pair]  # identical verified scores
 
 
+def test_ivf_recall_on_fixture(spark, catalog):
+    """IVF top-k must recover >=60% of brute-force top-10 on the fixture
+    (probing 6 of 16 cells on near-random vectors — the adversarial case;
+    clustered corpora need far fewer probes). Scores on recovered pairs
+    are exact (rescoring step)."""
+    from dirty_js_etl_spark.operators.similarity import ivf_topk
+
+    emb = catalog.read("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=6)
+    e = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]): r["score"] for r in approx.collect()}
+    overlap = set(e) & set(a)
+    assert len(overlap) / len(e) >= 0.6
+    for pair in overlap:
+        assert e[pair] == a[pair]
+
+
 def test_corpus_not_shuffled_for_topk(spark, catalog):
     """Plan shape: queries broadcast, corpus side has no exchange before
     the join (the scoring stage is map-only over corpus partitions)."""
