@@ -77,6 +77,22 @@ FIXTURE_TABLES = [
 ]
 
 
+# Tables with heavy per-row compute downstream (regex shingling, MinHash
+# signatures, embedding dot products, sessionization). The fixtures are
+# single-file / single-row-group parquet — an UNSPLITTABLE one-partition
+# scan — so without a repartition every map-only operator over them runs
+# on one core. On a real cluster these tables arrive as many files and
+# the repartition below becomes a no-op (guarded on partition count).
+HEAVY_TABLES = ("documents", "embeddings", "events")
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def fixture_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     """Catalog over one driver fixture directory (TESTDATA.md).
 
@@ -91,7 +107,16 @@ def fixture_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
+        return _spread(spark, df)
 
     cat.register_loader("events", _load_events)
+
+    def _heavy_loader(name: str) -> Callable[[], DataFrame]:
+        def load() -> DataFrame:
+            return _spread(spark, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+        return load
+
+    for name in ("documents", "embeddings"):
+        cat.register_loader(name, _heavy_loader(name))
     return cat

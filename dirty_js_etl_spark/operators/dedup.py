@@ -100,6 +100,32 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def minhash_signature_table(
+    sh_base: DataFrame, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, m0..m{num_perm-1}) signature table via explode + hash-agg.
+
+    The array-expression form (:func:`minhash_signature`) builds
+    ``num_perm`` nested higher-order functions, which Spark evaluates
+    *interpreted* (HOFs are outside whole-stage codegen) — measurably
+    slow at even 5k docs. Exploding the hashed shingles once and taking
+    ``min((a_i*h+b_i) mod P)`` per permutation keeps every expression
+    codegen'd; the map-side partial min means the single shuffle carries
+    one 64-int row per doc per partition. Same values as the array form.
+    """
+    exploded = sh_base.select(
+        "id",
+        F.explode(
+            F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+        ).alias("h"),
+    )
+    aggs = [
+        F.min(F.pmod(a * F.col("h") + b, F.lit(_P))).cast("int").alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_params(num_perm, seed))
+    ]
+    return exploded.groupBy("id").agg(*aggs)
+
+
 def band_hashes(sig: Column, bands: int, rows: int) -> Column:
     """Fold the signature into ``bands`` bucket hashes (array<bigint>):
     bucket_j = xxhash64 of the j-th r-row slice rendered as a string."""
@@ -130,16 +156,30 @@ def minhash_lsh_pairs(
     verify with exact Jaccard on the shingle arrays.
     """
     rows = num_perm // bands
-    base = df.select(
+    sh_base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm, seed))
-
-    banded = base.select(
-        "id",
-        F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias(
-            "band", "bucket"
-        ),
+    )
+    # the shingle table feeds FOUR consumers (signatures, verify a/b,
+    # sizes); without materialization every subtree re-runs the regex
+    # shingling of the full corpus. This is the canonical materialization
+    # point of a dedup pipeline — narrow rows, spills to disk if needed.
+    sh_base = sh_base.persist()
+    # codegen-friendly signature table (see minhash_signature_table);
+    # band j buckets on the hash of its contiguous r-column slice
+    sig_tbl = minhash_signature_table(sh_base, num_perm, seed)
+    buckets = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "_", *[F.col(f"m{j * rows + i}") for i in range(rows)]
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sig_tbl.select(
+        "id", F.posexplode(buckets).alias("band", "bucket")
     )
     # cap pathological buckets before the join blows up quadratically
     counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
@@ -162,23 +202,44 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+    # count-based exact verify: intersections arrive as narrow
+    # (id_a, id_b, count) rows — candidate pairs never ship their
+    # shingle arrays (at 16 bands a weakly-similar corpus can emit
+    # hundreds of thousands of candidates; arrays there would dominate
+    # the stage). jaccard = inter / (|A| + |B| - inter).
+    sizes = sh_base.select("id", F.size("sh").alias("sz"))
+    exploded = sh_base.select(
+        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
+    )
+    ea = exploded.join(
+        F.broadcast(cands), F.col("id") == F.col("id_a")
+    ).select("id_a", "id_b", "g")
+    inter = (
+        ea.alias("ea")
+        .join(
+            exploded.alias("eb"),
+            (F.col("eb.id") == F.col("ea.id_b"))
+            & (F.col("eb.g") == F.col("ea.g")),
+        )
+        .groupBy("ea.id_a", "ea.id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("__inter")
+                / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 def ngram_jaccard_pairs(
@@ -189,40 +250,49 @@ def ngram_jaccard_pairs(
     jaccard_threshold: float = 0.5,
     max_shingle_df: int = 1000,
 ) -> DataFrame:
-    """*Exact* n-gram-Jaccard near-dup pairs (no MinHash approximation).
+    """Exact n-gram-Jaccard near-dup pairs, count-based (no MinHash).
 
-    Candidates = pairs sharing >=1 shingle, found by exploding shingles
-    and self-joining on the shingle hash — with a document-frequency cap
-    dropping stop-shingles (a shingle in >``max_shingle_df`` docs creates
-    O(df²) candidates while signaling nothing). Verification is the same
-    exact Jaccard as the LSH path, so results are deterministic and
-    SQL-oracle-checkable.
+    Explode shingles (hashed to 64-bit ints so shuffle rows are narrow),
+    drop stop-shingles above the document-frequency cap (a shingle in
+    >``max_shingle_df`` docs creates O(df²) candidates while signaling
+    nothing), self-join on the shingle hash and COUNT matches per pair:
+    ``|A∩B|`` arrives from the same shuffle that found the candidates, so
+    ``jaccard = inter / (|A| + |B| - inter)`` needs only two broadcast
+    joins against the per-doc size table — shingle arrays are never
+    shipped. Intersection counts use capped shingles; sizes are uncapped
+    full shingle counts (the operational near-dup contract: stop-shingles
+    can't *create* a pair but still count toward its union).
     """
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    exploded = base.select("id", F.explode("sh").alias("g"))
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    # three consumers (df-counts, self-join sides) — materialize the
+    # narrow hashed-shingle rows once instead of re-shingling per subtree
+    exploded = base.select(
+        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
+    ).persist()
     df_counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     exploded = (
         exploded.join(df_counts, "g").filter(F.col("__df") <= max_shingle_df).drop("__df")
     )
     l, r = exploded.alias("l"), exploded.alias("r")
-    cands = (
+    shared = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("__inter")
+                / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
                 6,
             ),
         )
