@@ -24,7 +24,10 @@ from dirty_js_etl_spark.queries import all_queries  # noqa: E402
 from dirty_js_etl_spark.session import get_spark  # noqa: E402
 
 # headline set: the merge pipeline (shuffle join + audit), grouped agg,
-# broadcast FK join, distinct, and the scalar-heavy projection
+# broadcast FK join, distinct, idempotent re-merge — plus the
+# training-data extension ops (dedup, near-dup pairs, similarity top-k,
+# sessionization, rollup) so the bench profile covers every operator
+# family the engine ships
 HEADLINE = [
     "t5_merge_full",
     "t6_audit",
@@ -32,6 +35,13 @@ HEADLINE = [
     "c13_foreign_key",
     "t3_force_distinct",
     "t11_idempotent_merge",
+    "x1_dedup_exact",
+    "x3_text_quality",
+    "x5_ngram_jaccard_pairs",
+    "x6_minhash_lsh_pairs",
+    "x8_embedding_topk",
+    "x12_sessionize",
+    "x13_hourly_rollup",
 ]
 
 
@@ -49,12 +59,21 @@ def main() -> None:
     for n in names[:1]:
         qs[n](spark, sf_dir).count()
 
+    # best-of-N (default 2): the host VM shows noticeable run-to-run
+    # steal/JIT variance; the minimum is the achievable per-query time
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for n in names:
-        t0 = time.perf_counter()
-        df = qs[n](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[n] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = qs[n](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+            # drop frames persisted inside operators (dedup shingle
+            # tables) so measurements stay isolated across queries
+            spark.catalog.clearCache()
+        timings[n] = round(best, 4)
 
     print(
         json.dumps(

@@ -38,6 +38,10 @@ def get_spark(app_name: str = "dirty_js_etl_spark", master: str | None = None) -
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # single-JVM local mode: the driver heap IS the executor heap.
+        # Measured on this box: 8g beats 64g by >10x on shuffle-heavy
+        # queries (oversized G1 heaps collapse on these vCPUs) — keep the
+        # heap small and clear persisted frames between workloads instead.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
