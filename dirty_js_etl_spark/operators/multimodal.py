@@ -109,6 +109,96 @@ def decode_images(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, target_w int, target_h int, "
+    "scale_x double, scale_y double"
+)
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize plumbing via ``mapInPandas`` — the fake kernel derives the
+    source dims like :func:`fake_decode_image` and reports the scale
+    factors a real resampler (Pillow ``Image.resize``) would apply.
+    Map-only; one Arrow batch in flight per core."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            lens = pdf["payload"].map(len)
+            w = (lens % 640).astype("int32")
+            h = (lens % 480).astype("int32")
+            yield type(pdf)(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "scale_x": (target_w / w.where(w != 0)).round(6),
+                    "scale_y": (target_h / h.where(h != 0)).round(6),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_checksum string"
+
+
+def sample_frames(df: DataFrame, max_frames: int = 5) -> DataFrame:
+    """Frame-sampling plumbing (video analog): each payload expands to
+    ``byte_len % max_frames + 1`` frame rows — the 1→N output shape a
+    real ffmpeg frame sampler produces. Frame identity is a deterministic
+    checksum of (payload, frame_idx) so results are engine-comparable.
+    Map-only with batch-local expansion; no shuffle."""
+    import hashlib
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload) % max_frames + 1
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(
+                        hashlib.md5(payload + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            ).astype({"frame_idx": "int32"})
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, duration_ms bigint, n_channels int, rms double"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature-extract plumbing — the fake kernel derives
+    duration/channels/RMS deterministically from the bytes (the seam
+    where librosa/torchaudio plugs in on a real cluster)."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            lens = pdf["payload"].map(len)
+            yield type(pdf)(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "duration_ms": (lens * 20).astype("int64"),
+                    "n_channels": (lens % 2 + 1).astype("int32"),
+                    "rms": ((lens % 1000) / 1000.0).round(6),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def media_metadata_only(df: DataFrame) -> DataFrame:
     """Metadata projection — never touches the payload bytes (column
     pruning drops the blob at the parquet scan)."""

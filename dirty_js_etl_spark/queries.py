@@ -1072,6 +1072,40 @@ def x15_multimodal_meta(spark, sf_dir):
 
 
 @register(
+    "x19_frame_sample",
+    "SELECT doc_id, CAST(UNNEST(range(0, octet_length(encode(text)) % 5 + 1)) AS INT)"
+    " AS frame_idx FROM documents",
+)
+def x19_frame_sample(spark, sf_dir):
+    # 1->N mapInPandas expansion (video frame-sample analog); checksum
+    # column dropped for the oracle (DuckDB's md5 over mixed binary
+    # concat differs) — row multiplicity and indices are the contract
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return sample_frames(attach_binary_payload(docs)).select("doc_id", "frame_idx")
+
+
+@register(
+    "x20_audio_features",
+    "SELECT doc_id, CAST(octet_length(encode(text)) * 20 AS BIGINT) AS duration_ms, "
+    "CAST(octet_length(encode(text)) % 2 + 1 AS INT) AS n_channels, "
+    "round((octet_length(encode(text)) % 1000) / 1000.0, 6) AS rms FROM documents",
+)
+def x20_audio_features(spark, sf_dir):
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_audio_features,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return extract_audio_features(attach_binary_payload(docs))
+
+
+@register(
     "x16_multimodal_decode",
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
     "CAST(octet_length(encode(text)) % 640 AS INT) AS width, "

@@ -50,3 +50,44 @@ def test_fake_decode_schema_and_determinism(spark, media):
 def test_real_decoder_seam_raises(spark, media):
     with pytest.raises(Exception, match="(?i)pillow|notimplemented"):
         decode_images(media, use_real_decoder=True).collect()
+
+
+def test_resize_scale_factors(spark, media):
+    from dirty_js_etl_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, target_w=224, target_h=112).collect()
+    assert len(out) == 50
+    for r in out:
+        if r["width"]:
+            assert r["scale_x"] == pytest.approx(224 / r["width"], rel=1e-5)
+        else:
+            assert r["scale_x"] is None
+        assert r["target_h"] == 112
+
+
+def test_frame_sample_expansion(spark, media):
+    """1->N expansion: each doc yields byte_len % 5 + 1 frames with
+    distinct indices and per-frame checksums."""
+    from dirty_js_etl_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(media, max_frames=5)
+    per_doc = frames.groupBy("doc_id").count()
+    want = media.select(
+        "doc_id", (F.length("payload") % 5 + 1).alias("n")
+    )
+    joined = per_doc.join(want, "doc_id")
+    assert joined.filter(F.col("count") != F.col("n")).isEmpty()
+    # frame checksums unique within a doc (payload+idx keyed)
+    assert (
+        frames.groupBy("doc_id", "frame_checksum").count().filter("count > 1").isEmpty()
+    )
+
+
+def test_audio_features_deterministic(spark, media):
+    from dirty_js_etl_spark.operators.multimodal import extract_audio_features
+
+    out = extract_audio_features(media)
+    assert out.columns == ["doc_id", "duration_ms", "n_channels", "rms"]
+    rows = out.collect()
+    assert all(r["n_channels"] in (1, 2) for r in rows)
+    assert all(0.0 <= r["rms"] < 1.0 for r in rows)
