@@ -61,6 +61,8 @@ def write_sink(
     compression: str = "snappy",
 ) -> None:
     writer = df.write.format(fmt).mode(mode).option("compression", compression)
+    if fmt == "csv":
+        writer = writer.option("header", "true")  # mirror the reader default
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)

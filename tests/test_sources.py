@@ -1,0 +1,69 @@
+"""Source/sink registry: format round-trips, schema policy, partitioned
+writes (partition pruning visible in the reader's plan)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.sources.registry import (
+    SourceSpec,
+    read_source,
+    write_sink,
+)
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        "id bigint, tag string, v double",
+    )
+
+
+def test_parquet_round_trip(spark, small, tmp_path):
+    p = os.path.join(tmp_path, "p")
+    write_sink(small, p)
+    back = read_source(spark, SourceSpec(path=p))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in small.collect()
+    )
+
+
+def test_csv_requires_schema(spark, small, tmp_path):
+    p = os.path.join(tmp_path, "c")
+    write_sink(small, p, fmt="csv", compression="none")
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_source(spark, SourceSpec(path=p, fmt="csv"))
+    back = read_source(
+        spark,
+        SourceSpec(path=p, fmt="csv", schema="id bigint, tag string, v double"),
+    )
+    assert back.count() == 3
+    assert dict(back.dtypes) == {"id": "bigint", "tag": "string", "v": "double"}
+
+
+def test_json_round_trip_with_schema(spark, small, tmp_path):
+    p = os.path.join(tmp_path, "j")
+    write_sink(small, p, fmt="json", compression="none")
+    back = read_source(
+        spark,
+        SourceSpec(path=p, fmt="json", schema="id bigint, tag string, v double"),
+    )
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+
+
+def test_partitioned_write_prunes(spark, small, tmp_path):
+    p = os.path.join(tmp_path, "part")
+    write_sink(small, p, partition_by=["tag"])
+    # physical layout: one dir per tag value
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("tag=")
+    ) == ["tag=a", "tag=b"]
+    back = read_source(spark, SourceSpec(path=p)).filter(F.col("tag") == "a")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition filter reaches the scan: only the tag=a directory is read
+    assert back.count() == 2
+    assert "PartitionFilters" in plan and "tag" in plan
