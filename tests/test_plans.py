@@ -1,0 +1,55 @@
+"""Plan-shape regression tests — the scale properties SCALE.md claims,
+enforced: pushdown reaches the parquet scan, dimensions broadcast, the
+merge is a single co-partitioned join, aggregations are partial+final.
+
+Assertions are deliberately coarse (operator presence, not exact tree
+shape) so AQE/codegen changes across Spark versions don't false-fail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "t2_source_filter")
+    assert "PushedFilters" in plan
+    assert "GreaterThan(o_totalprice" in plan
+    # column pruning: the scan reads only the two projected + filter cols
+    assert "ReadSchema" in plan and "o_comment" not in plan
+
+
+def test_fk_lookup_is_broadcast(spark):
+    plan = _plan(spark, "c13_foreign_key")
+    assert "BroadcastHashJoin" in plan
+    # the fact side never exchanges for a dimension lookup
+    assert "SortMergeJoin" not in plan
+
+
+def test_merge_is_single_outer_join(spark):
+    plan = _plan(spark, "t5_merge_full")
+    assert plan.count("FullOuter") == 1 and "SortMergeJoin" in plan
+    # FK dimension still broadcast inside the merge source
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rollup_aggregates_partially(spark):
+    plan = _plan(spark, "x13_hourly_rollup")
+    # partial (map-side) + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_grouping_pruned_to_needed_columns(spark):
+    plan = _plan(spark, "c11_t4_grouping")
+    # lineitem is 16 columns; the grouped mapping needs 4
+    assert "l_returnflag" in plan and "l_extendedprice" not in plan
