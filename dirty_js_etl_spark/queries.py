@@ -978,7 +978,7 @@ def x11_events_json(spark, sf_dir):
     return out.select("event_id", F.col("k_val").cast("int").alias("k_val"))
 
 
-_X12_SQL = """
+_X12_CTE = """
 WITH ordered AS (
   SELECT user_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -994,6 +994,9 @@ WITH ordered AS (
                           ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
+"""
+
+_X12_SQL = _X12_CTE + """
 SELECT user_id, CAST(user_id * 1000000 + session_seq AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -1008,6 +1011,45 @@ def x12_sessionize(spark, sf_dir):
 
     events = _cat(spark, sf_dir).read("events")
     return session_stats(events, gap_minutes=30)
+
+
+# as-of join oracle: DuckDB's native ASOF JOIN (the inequality is the
+# as-of condition, the equality is the match key) against the same
+# derived session-start table
+_X21_SQL = _X12_CTE.rstrip() + """,
+sessions AS (
+  SELECT user_id, CAST(user_id * 1000000 + session_seq AS BIGINT) AS session_id,
+         min(ts) AS session_start
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT e.event_id, e.user_id, s.session_id
+FROM events e ASOF LEFT JOIN sessions s
+  ON e.user_id = s.user_id AND e.ts >= s.session_start
+"""
+
+
+@register("x21_asof_join", _X21_SQL)
+def x21_asof_join(spark, sf_dir):
+    # custom operator Spark lacks: backward as-of join (union + one
+    # key-shuffle + running last-fill — no range-join explosion); here
+    # assigning every event to the session whose start most recently
+    # precedes it
+    from dirty_js_etl_spark.operators.asof import asof_join
+    from dirty_js_etl_spark.operators.events import session_stats
+
+    events = _cat(spark, sf_dir).read("events")
+    sessions = session_stats(events, gap_minutes=30).select(
+        "user_id", "session_start", "session_id"
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        sessions,
+        on="user_id",
+        left_time="ts",
+        right_time="session_start",
+        payload_cols=["session_id"],
+    )
+    return out.select("event_id", "user_id", "session_id")
 
 
 _X13_SQL = """

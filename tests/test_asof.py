@@ -1,0 +1,89 @@
+"""As-of join: constructed-geometry correctness (ties, no-match, cross
+checks against the sessionizer) and plan shape (one shuffle, no
+nested-loop join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, time, quote)
+    return spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (1, 20, "b"),
+            (2, 15, "x"),
+        ],
+        "k int, t int, q string",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, 5),   # before any quote -> NULL
+            (1, 10),  # tie with quote@10 -> 'a' (snapshot applies at t)
+            (1, 15),  # -> 'a'
+            (1, 25),  # -> 'b'
+            (2, 14),  # before x -> NULL
+            (2, 99),  # -> 'x'
+        ],
+        "k int, t int",
+    )
+
+
+def test_backward_asof_semantics(spark, quotes, trades):
+    out = asof_join(trades, quotes, on="k", left_time="t", right_time="t")
+    got = {(r["k"], r["t"]): r["q"] for r in out.collect()}
+    assert got == {
+        (1, 5): None,
+        (1, 10): "a",
+        (1, 15): "a",
+        (1, 25): "b",
+        (2, 14): None,
+        (2, 99): "x",
+    }
+
+
+def test_payload_clash_rejected(spark, quotes):
+    with pytest.raises(ValueError, match="clash"):
+        asof_join(quotes, quotes, on="k", left_time="t", right_time="t")
+
+
+def test_event_session_assignment_consistent(spark, catalog):
+    """Every event lands in a session, and per-session event counts from
+    the as-of assignment equal the sessionizer's own n_events."""
+    from dirty_js_etl_spark.operators.events import session_stats
+
+    events = catalog.read("events")
+    sessions = session_stats(events, gap_minutes=30)
+    assigned = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        sessions.select("user_id", "session_start", "session_id"),
+        on="user_id",
+        left_time="ts",
+        right_time="session_start",
+        payload_cols=["session_id"],
+    )
+    assert assigned.filter(F.col("session_id").isNull()).isEmpty()
+    counts = assigned.groupBy("session_id").count()
+    bad = (
+        counts.join(sessions, "session_id")
+        .filter(F.col("count") != F.col("n_events"))
+    )
+    assert bad.isEmpty()
+
+
+def test_no_nested_loop_join(spark, quotes, trades):
+    plan = (
+        asof_join(trades, quotes, on="k", left_time="t", right_time="t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
