@@ -740,6 +740,172 @@ def t11_idempotent_merge(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.3 category-checklist extensions: the reference has no windows, sorts/
+# top-k, set ops, or date/math functions (SURVEY.md §2.3 "absent" rows);
+# the Spark engine provides them natively — one oracle-checked query per
+# category so the coverage is checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x22_topn_orders",
+    "SELECT o_orderkey AS okey, o_totalprice AS price FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+)
+def x22_topn_orders(spark, sf_dir):
+    # sorts/limits/top-k row: orderBy+limit plans as TakeOrdered (per-
+    # partition partial top-k, no full sort shuffle)
+    orders = _cat(spark, sf_dir).read("orders")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price")
+        )
+        .orderBy(F.col("price").desc(), F.col("okey"))
+        .limit(100)
+    )
+
+
+@register(
+    "x23_set_ops",
+    """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+""",
+)
+def x23_set_ops(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    c, o = cat.read("customer"), cat.read("orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    negative = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = o.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # SQL set-op precedence: INTERSECT binds tighter; UNION/EXCEPT fold
+    # left-to-right — mirrored explicitly here
+    return building.intersect(open_orders).union(negative).distinct().exceptAll(
+        big.distinct()
+    )
+
+
+@register(
+    "x24_window_functions",
+    """
+SELECT o_custkey AS custkey, o_orderkey AS okey, o_totalprice AS price,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER w2 AS BIGINT) AS rnk,
+       lag(o_totalprice) OVER w AS prev_price,
+       round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS UNBOUNDED PRECEDING)::DOUBLE, 2) AS running_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def x24_window_functions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = _cat(spark, sf_dir).read("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").alias("price"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w2).cast("long").alias("rnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(running)
+            .cast("double"),
+            2,
+        ).alias("running_total"),
+    )
+
+
+@register(
+    "x25_date_functions",
+    """
+SELECT o_orderkey AS okey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due,
+       datediff('day', DATE '1995-01-01', o_orderdate) AS days_since
+FROM orders
+""",
+)
+def x25_date_functions(spark, sf_dir):
+    orders = _cat(spark, sf_dir).read("orders")
+    return orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        # timestamp-typed on both sides: DATE round-trips differently
+        # through pandas (datetime64 vs date object)
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+
+
+@register(
+    "x26_math_functions",
+    """
+SELECT l_orderkey AS okey, l_linenumber AS line,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net,
+       round(sqrt(l_quantity), 6) AS sq,
+       CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
+       abs(l_quantity - 25) AS dist25,
+       round(ln(l_extendedprice), 6) AS log_price,
+       pmodemu AS qty_mod_7
+FROM (SELECT *, CAST(l_quantity AS BIGINT) % 7 AS pmodemu FROM lineitem)
+""",
+)
+def x26_math_functions(spark, sf_dir):
+    li = _cat(spark, sf_dir).read("lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+        # decimal arithmetic: double rounding at the .xx5 boundary differs
+        # between engines; exact decimals round identically
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,2)")),
+            2,
+        )
+        .cast("double")
+        .alias("net"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct"),
+        F.abs(F.col("l_quantity") - 25).alias("dist25"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod_7"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # M4 extensions: dedup / similarity / text analysis / events / multimodal
 # (SURVEY.md §2.3 extension rows; BASELINE.json north star)
 # ---------------------------------------------------------------------------
@@ -1048,6 +1214,42 @@ def x21_asof_join(spark, sf_dir):
         left_time="ts",
         right_time="session_start",
         payload_cols=["session_id"],
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+# range-join oracle: plain BETWEEN predicate join (DuckDB plans IEJoin)
+_X27_SQL = _X12_CTE.rstrip() + """,
+sessions AS (
+  SELECT user_id, CAST(user_id * 1000000 + session_seq AS BIGINT) AS session_id,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT e.event_id, e.user_id, s.session_id
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id
+ AND e.ts BETWEEN s.session_start AND s.session_end
+"""
+
+
+@register("x27_range_join", _X27_SQL)
+def x27_range_join(spark, sf_dir):
+    # point-in-interval join via time-bucketed equi-join (no nested
+    # loop); events matched into their containing session interval
+    from dirty_js_etl_spark.operators.events import session_stats
+    from dirty_js_etl_spark.operators.ranges import range_join
+
+    events = _cat(spark, sf_dir).read("events")
+    sessions = session_stats(events, gap_minutes=30).select(
+        "user_id", "session_start", "session_end", "session_id"
+    )
+    out = range_join(
+        events.select("event_id", "user_id", "ts"),
+        sessions,
+        on="user_id",
+        left_time="ts",
+        start_col="session_start",
+        end_col="session_end",
     )
     return out.select("event_id", "user_id", "session_id")
 
