@@ -1262,6 +1262,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+_X28_SQL = """
+SELECT day_start, hour_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM (
+  SELECT date_trunc('day', ts) AS day_start,
+         date_trunc('hour', ts) AS hour_start, value
+  FROM events
+) GROUP BY ROLLUP(day_start, hour_start)
+"""
+
+
+@register("x28_hierarchical_rollup", _X28_SQL)
+def x28_hierarchical_rollup(spark, sf_dir):
+    # hypertable-style multi-resolution continuous aggregate: one
+    # ROLLUP pass emits hour, day, and grand-total rows (grouping sets;
+    # the reference has no grouping sets at all, SURVEY §2.3). Partial
+    # aggregation still applies — the rollup expansion happens pre-
+    # shuffle, so it is ONE shuffle for all three resolutions.
+    events = _cat(spark, sf_dir).read("events")
+    return (
+        events.select(
+            F.date_trunc("day", F.col("ts")).alias("day_start"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "value",
+        )
+        .rollup("day_start", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 @register("x13_hourly_rollup", _X13_SQL)
 def x13_hourly_rollup(spark, sf_dir):
     from dirty_js_etl_spark.operators.events import hourly_rollup

@@ -68,6 +68,32 @@ def write_sink(
     writer.save(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sort-ordered) table.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle — each bucket pairs off directly (plan shows no
+    Exchange; asserted in tests). This is the storage-side answer to
+    repeated large-to-large joins: pay the partitioning once at write
+    time instead of per query. ``num_buckets`` should be sized so one
+    bucket ≈ one healthy task (~100-500 MB at cluster scale).
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def delta_available(spark: SparkSession) -> bool:
     """Import-try gate for the Delta Lake connector (not in this image)."""
     try:

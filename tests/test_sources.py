@@ -55,6 +55,34 @@ def test_json_round_trip_with_schema(spark, small, tmp_path):
     assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key/count join without Exchange —
+    the pay-once co-location contract of write_bucketed_table."""
+    from dirty_js_etl_spark.sources.registry import write_bucketed_table
+
+    facts = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dims = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    write_bucketed_table(facts, "t_bkt_facts", ["k"], 4,
+                         path=os.path.join(tmp_path, "f"))
+    write_bucketed_table(dims, "t_bkt_dims", ["k"], 4,
+                         path=os.path.join(tmp_path, "d"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bkt_facts").join(spark.table("t_bkt_dims"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # buckets pair off directly
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_facts")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_dims")
+
+
 def test_partitioned_write_prunes(spark, small, tmp_path):
     p = os.path.join(tmp_path, "part")
     write_sink(small, p, partition_by=["tag"])
