@@ -42,6 +42,9 @@ HEADLINE = [
     "x8_embedding_topk",
     "x12_sessionize",
     "x13_hourly_rollup",
+    "x21_asof_join",
+    "x27_range_join",
+    "x28_hierarchical_rollup",
 ]
 
 
