@@ -1345,8 +1345,6 @@ def x14_streaming_rollup(spark, sf_dir):
     # same oracle as the batch rollup: the streaming path must converge to
     # the batch answer once the finite source drains (tumbling windows
     # align with date_trunc('hour'))
-    import itertools
-
     from dirty_js_etl_spark.streaming.events import run_stream_to_memory
 
     name = f"events_rollup_{next(_STREAM_COUNTER)}"
