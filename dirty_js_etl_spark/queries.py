@@ -1367,6 +1367,28 @@ def x17_stateful_sessionize(spark, sf_dir):
     return run_sessionize_stream(spark, sf_dir, query_name=name)
 
 
+_X31_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts, event_type, value FROM ranked WHERE rn = 1
+"""
+
+
+@register("x31_streaming_upsert", _X31_SQL)
+def x31_streaming_upsert(spark, sf_dir):
+    # CDC-shaped composition: foreachBatch reduces each micro-batch to
+    # latest-per-user and MERGEs it into the running destination; the
+    # drained stream must equal the batch latest-per-user answer
+    from dirty_js_etl_spark.streaming.upsert import run_stream_upsert
+
+    name = f"stream_upsert_{next(_STREAM_COUNTER)}"
+    return run_stream_upsert(spark, sf_dir, query_name=name)
+
+
 @register(
     "x15_multimodal_meta",
     "SELECT doc_id, 'image/fake' AS media_type, "
