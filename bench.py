@@ -45,6 +45,9 @@ HEADLINE = [
     "x21_asof_join",
     "x27_range_join",
     "x28_hierarchical_rollup",
+    "x32_tpch_q1",
+    "x33_tpch_q3",
+    "x34_tpch_q5",
 ]
 
 

@@ -906,6 +906,131 @@ def x26_math_functions(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-style analytical queries (Q1/Q3/Q5 analogs on the fixture star
+# schema): multi-join analytics exercising Catalyst's join ordering and
+# broadcast decisions, with decimal-exact money arithmetic so the
+# cross-engine hashes match.
+# ---------------------------------------------------------------------------
+
+_DEC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _disc_price():
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+
+
+@register(
+    "x32_tpch_q1",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_DEC}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_DEC} * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       sum(l_quantity) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def x32_tpch_q1(spark, sf_dir):
+    li = _cat(spark, sf_dir).read("lineitem")
+    disc = _disc_price()
+    charge = disc * (1 + F.col("l_tax").cast("decimal(18,2)"))
+    base = F.col("l_extendedprice").cast("decimal(18,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(base).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum("l_quantity") / cnt).alias("avg_qty"),
+            (F.sum(base).cast("double") / cnt).alias("avg_price"),
+            cnt.cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "x33_tpch_q3",
+    f"""
+SELECT l_orderkey AS okey,
+       CAST(sum({_DEC}) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""",
+)
+def x33_tpch_q3(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    cut = F.lit("1998-03-15").cast("timestamp")
+    c = cat.read("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = cat.read("orders").filter(F.col("o_orderdate") < cut)
+    li = cat.read("lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("okey"), "o_orderdate", "o_orderpriority"
+        )
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("okey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "x34_tpch_q5",
+    f"""
+SELECT n_name, CAST(sum({_DEC}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def x34_tpch_q5(spark, sf_dir):
+    cat = _cat(spark, sf_dir)
+    c, o, li = cat.read("customer"), cat.read("orders"), cat.read("lineitem")
+    s, n, r = cat.read("supplier"), cat.read("nation"), cat.read("region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    r = r.filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # M4 extensions: dedup / similarity / text analysis / events / multimodal
 # (SURVEY.md §2.3 extension rows; BASELINE.json north star)
 # ---------------------------------------------------------------------------
