@@ -1413,6 +1413,27 @@ def x27_range_join(spark, sf_dir):
     return out.select("event_id", "user_id", "session_id")
 
 
+@register("x35_sketches", None)  # approximate (HLL++/KLL) -> rows-only
+def x35_sketches(spark, sf_dir):
+    # sketch aggregations per event type: HLL++ distinct users and
+    # approximate quantiles of value — error bounds vs the exact answers
+    # are asserted in tests/test_sketches.py (rel err <= 5% / rank err
+    # bounded); a SQL oracle can't reproduce another engine's sketch
+    events = _cat(spark, sf_dir).read("events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_q"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        "approx_users",
+        F.col("value_q")[0].alias("p50"),
+        F.col("value_q")[1].alias("p95"),
+        F.col("value_q")[2].alias("p99"),
+        "n_events",
+    )
+
+
 _X13_SQL = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
