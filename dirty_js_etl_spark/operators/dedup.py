@@ -302,6 +302,84 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) with
+    cluster_id = min member id — the keep-one-per-cluster dedup step
+    (SURVEY.md §7.1: shingle → minhash → band → pairs → components).
+
+    Min-label propagation with pointer jumping: each round every node
+    takes the minimum label over its neighborhood, then adopts its
+    label's own label (path halving) — convergence in O(log diameter)
+    rounds, so even pathological duplicate chains finish fast. Each
+    round is two key-joins + a min-agg; labels are checkpointed per
+    round so the plan does not grow. Raises if ``max_iterations``
+    rounds don't converge.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # candidate label for each node: min over neighbors' labels
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: adopt the label of your label (path halving)
+        parent = labels.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["label"] == parent["pid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if not changed:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iterations} iterations"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -1188,6 +1188,37 @@ def x6_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
 
 
+_X36_SQL = """
+WITH RECURSIVE pairs AS (
+""" + _X5_SQL + """
+), nodes AS (
+  SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+  WHERE w.label < e.src
+)
+SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+"""
+
+
+@register("x36_dup_clusters", _X36_SQL)
+def x36_dup_clusters(spark, sf_dir):
+    # connected components over the exact n-gram near-dup pairs; the
+    # oracle walks the same graph with a recursive CTE (labels reach
+    # every node reachable via decreasing-minimum paths)
+    from dirty_js_etl_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    docs = _cat(spark, sf_dir).read("documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3,
+                                jaccard_threshold=0.5)
+    return dup_clusters(pairs)
+
+
 @register("x7_simhash_pairs", None)  # approximate -> rows-only check
 def x7_simhash_pairs(spark, sf_dir):
     from dirty_js_etl_spark.operators.dedup import simhash_near_dup_pairs

@@ -1,5 +1,6 @@
-"""Dedup operator tests: exact keeper selection, MinHash/LSH recall vs the
-exact Jaccard ground truth, SimHash behavior on near-identical docs."""
+"""Dedup operator tests: exact keeper selection, MinHash/LSH recall vs
+the exact Jaccard ground truth, SimHash behavior on near-identical
+docs, and connected-components clustering."""
 
 from __future__ import annotations
 
@@ -88,3 +89,35 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id bigint, text string")
     out = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
     assert out == ["one two"]  # whole doc as single shingle
+
+
+def test_dup_clusters_components(spark):
+    """Chain, triangle, and pair components: every node labels with its
+    component minimum; no cross-component merging."""
+    from dirty_js_etl_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),   # chain  -> min 1
+            (10, 11), (11, 12), (10, 12),  # triangle -> min 10
+            (20, 21),                 # pair  -> min 20
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 30-node chain needs ~log-diameter... iterations under min-label
+    propagation; must converge within the default cap."""
+    from dirty_js_etl_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a bigint, id_b bigint"
+    )
+    got = dup_clusters(pairs)
+    assert got.filter(F.col("cluster_id") != 0).isEmpty()
+    assert got.count() == 31
