@@ -48,6 +48,10 @@ HEADLINE = [
     "x32_tpch_q1",
     "x33_tpch_q3",
     "x34_tpch_q5",
+    "x37_semi_join",
+    "x40_group_percentiles",
+    "x41_hash_split",
+    "x44_scd2_history",
 ]
 
 

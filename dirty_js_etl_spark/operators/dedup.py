@@ -465,3 +465,77 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (edit-distance) matching + cluster canonicalization
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_distance: int = 3,
+) -> DataFrame:
+    """Edit-distance near-dup pairs with blocking: the self-join only
+    compares rows sharing every ``block_cols`` value, then keeps pairs
+    with ``levenshtein(text) <= max_distance``.
+
+    Scale design: levenshtein is O(len^2) per pair, so the blocking keys
+    carry all the scale-out — the equi-join shuffles once on the block
+    key and each bucket is quadratic only in its own size. Pick blocks
+    bounded in cardinality (brand x size here, not e.g. language). The
+    ``id < id`` predicate halves the candidate set and dedups (a,b)/(b,a).
+    """
+    cols = [id_col, text_col, *block_cols]
+    l = df.select(cols).alias("l")
+    r = df.select(cols).alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for b in block_cols:
+        cond = cond & (F.col(f"l.{b}") == F.col(f"r.{b}"))
+    dist = F.levenshtein(F.col(f"l.{text_col}"), F.col(f"r.{text_col}"))
+    return (
+        l.join(r, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+def cluster_canonical(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Pick one canonical representative per duplicate cluster: the
+    highest-``score_col`` member (ties -> lowest id), plus the member
+    count — the "which copy do we keep" step after ``dup_clusters``.
+
+    One broadcast-sized join (clusters are a projection of the pair
+    graph, tiny next to the corpus) then a single window shuffle on
+    cluster_id."""
+    joined = clusters.join(
+        scored.select(F.col(id_col).alias("id"), F.col(score_col)), "id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col("id")
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("canonical_id"),
+            F.col(score_col),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

@@ -1188,7 +1188,7 @@ def x6_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
 
 
-_X36_SQL = """
+_X36_CTE = """
 WITH RECURSIVE pairs AS (
 """ + _X5_SQL + """
 ), nodes AS (
@@ -1201,9 +1201,11 @@ WITH RECURSIVE pairs AS (
   UNION
   SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
   WHERE w.label < e.src
-)
-SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
-"""
+), clusters AS (
+  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+)"""
+
+_X36_SQL = _X36_CTE + "\nSELECT id, cluster_id FROM clusters"
 
 
 @register("x36_dup_clusters", _X36_SQL)
@@ -1632,3 +1634,228 @@ def x16_multimodal_decode(spark, sf_dir):
 
     docs = _cat(spark, sf_dir).read("documents")
     return decode_images(attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# semi/anti joins, pivot, percentiles, deterministic splits, SCD2, fuzzy
+# matching (§2.3 category extensions + training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x37_semi_join",
+    """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def x37_semi_join(spark, sf_dir):
+    # TPC-H Q4 shape: EXISTS -> left_semi join (no row multiplication,
+    # no post-join dedup); the orders side stays the probe side so the
+    # aggregate runs on original cardinality
+    cat = _cat(spark, sf_dir)
+    orders = cat.read("orders")
+    li = cat.read("lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "x38_anti_join",
+    """
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n.n_name
+""",
+)
+def x38_anti_join(spark, sf_dir):
+    # TPC-H Q22 shape: NOT EXISTS -> left_anti join; nation is a
+    # broadcast dim so the only shuffle is the anti-join on custkey
+    cat = _cat(spark, sf_dir)
+    c = cat.read("customer")
+    o = cat.read("orders").select("o_custkey")
+    n = cat.read("nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register(
+    "x39_pivot_events",
+    "SELECT date_trunc('day', ts) AS day, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+)
+def x39_pivot_events(spark, sf_dir):
+    # long->wide pivot with an explicit value list: fixed output schema,
+    # single shuffle (no extra pass to discover pivot values)
+    events = _cat(spark, sf_dir).read("events")
+    return (
+        events.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "x40_group_percentiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       round(quantile_cont(l_quantity, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def x40_group_percentiles(spark, sf_dir):
+    # exact linear-interpolation percentiles (matches quantile_cont);
+    # the exact form needs the full group -- at 100 TB swap in
+    # percentile_approx (x35) whose KLL sketch merges map-side
+    li = _cat(spark, sf_dir).read("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "x41_hash_split",
+    """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def x41_hash_split(spark, sf_dir):
+    # deterministic md5-keyed train/val/test split: pure projection (no
+    # shuffle, no RNG state), stable across runs/retries/cluster sizes
+    # -- unlike randomSplit, whose output depends on partitioning
+    from dirty_js_etl_spark.operators.splits import train_val_test_split
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return train_val_test_split(docs, "doc_id", (0.8, 0.1, 0.1)).select(
+        "doc_id", "split"
+    )
+
+
+_X42_SQL = _X36_CTE + """, ranked AS (
+  SELECT c.cluster_id, c.id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM clusters c JOIN documents d ON d.doc_id = c.id
+)
+SELECT cluster_id, id AS canonical_id, n_chars,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("x42_cluster_canonical", _X42_SQL)
+def x42_cluster_canonical(spark, sf_dir):
+    # keep-the-best-copy step after connected components: canonical doc
+    # per duplicate cluster = longest member (ties -> lowest id)
+    from dirty_js_etl_spark.operators.dedup import (
+        cluster_canonical,
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, jaccard_threshold=0.5
+    )
+    clusters = dup_clusters(pairs)
+    return cluster_canonical(clusters, docs, "doc_id", "n_chars")
+
+
+@register(
+    "x43_fuzzy_pairs",
+    """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS distance
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def x43_fuzzy_pairs(spark, sf_dir):
+    # blocked edit-distance matching: quadratic cost confined to small
+    # (brand x size) blocks, one equi-join shuffle on the block key
+    from dirty_js_etl_spark.operators.dedup import fuzzy_blocked_pairs
+
+    part = _cat(spark, sf_dir).read("part")
+    return fuzzy_blocked_pairs(
+        part, "p_partkey", "p_name", ["p_brand", "p_size"], max_distance=3
+    ).select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
+
+
+@register(
+    "x44_scd2_history",
+    """
+SELECT user_id, value, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def x44_scd2_history(spark, sf_dir):
+    # SCD type-2 dimension history from the change stream: every
+    # purchase event becomes a version row with a validity interval
+    from dirty_js_etl_spark.operators.scd import scd2_history
+
+    events = _cat(spark, sf_dir).read("events")
+    hist = scd2_history(
+        events.filter(F.col("event_type") == "purchase"),
+        key_col="user_id",
+        ts_col="ts",
+        value_cols=["value"],
+        tie_break="event_id",
+    )
+    return hist.withColumn("version", F.col("version").cast("long"))

@@ -121,3 +121,45 @@ def test_dup_clusters_long_chain_converges(spark):
     got = dup_clusters(pairs)
     assert got.filter(F.col("cluster_id") != 0).isEmpty()
     assert got.count() == 31
+
+
+def test_fuzzy_blocked_pairs_symmetric_free_and_thresholded(spark, catalog):
+    from dirty_js_etl_spark.operators.dedup import fuzzy_blocked_pairs
+
+    part = catalog.read("part")
+    pairs = fuzzy_blocked_pairs(
+        part, "p_partkey", "p_name", ["p_brand", "p_size"], max_distance=3
+    ).collect()
+    seen = set()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]  # no (b,a) duplicates
+        assert r["distance"] <= 3
+        seen.add((r["id_a"], r["id_b"]))
+    assert len(seen) == len(pairs)
+
+
+def test_cluster_canonical_picks_longest_member(spark, catalog):
+    from dirty_js_etl_spark.operators.dedup import (
+        cluster_canonical,
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = catalog.read("documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, jaccard_threshold=0.5
+    )
+    clusters = dup_clusters(pairs)
+    canon = cluster_canonical(clusters, docs, "doc_id", "n_chars")
+    rows = {r["cluster_id"]: r for r in canon.collect()}
+    # one canonical per cluster; canonical has the max n_chars among members
+    members = clusters.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    ).collect()
+    by_cluster = {}
+    for m in members:
+        by_cluster.setdefault(m["cluster_id"], []).append(m)
+    assert set(rows) == set(by_cluster)
+    for cid, ms in by_cluster.items():
+        assert rows[cid]["n_chars"] == max(m["n_chars"] for m in ms)
+        assert rows[cid]["n_docs"] == len(ms)
