@@ -52,6 +52,12 @@ HEADLINE = [
     "x40_group_percentiles",
     "x41_hash_split",
     "x44_scd2_history",
+    "x45_decontaminate",
+    "x46_pack_sequences",
+    "x48_vocab_topk",
+    "x50_repetition_stats",
+    "x52_tpch_q6",
+    "x55_tpch_q18",
 ]
 
 

@@ -1,0 +1,309 @@
+"""Training-corpus pipeline operators (north-star M4 extensions).
+
+No reference analog (`bruslim/dirty-js-etl` is relational-only,
+SURVEY.md §2.3); these are the corpus-preparation stages a 100 TB
+LLM-data pipeline runs between raw documents and training shards:
+eval-set decontamination, sequence packing, deterministic stratified
+sampling, vocabulary statistics, table profiling, repetition-based
+quality signals, and PII redaction.
+
+Scale design per operator is documented on each function; the common
+theme: hash-keyed determinism (results independent of partitioning),
+broadcast for the small side (eval grams, sample-rate maps), and
+per-group windows rather than global sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.operators.dedup import word_shingles
+from dirty_js_etl_spark.operators.splits import hash_bucket
+from dirty_js_etl_spark.operators.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap against an eval/benchmark set
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training docs sharing >= ``min_hits`` distinct word n-grams
+    with any eval-set document (the standard 13-gram-overlap
+    decontamination check, parameterized down for small fixtures).
+
+    Returns one row per corpus doc: ``(id, n_hit_grams, contaminated)``.
+
+    Scale: the eval set is *small by construction* (benchmarks are KBs,
+    the corpus is TBs) — its distinct gram table is broadcast, so the
+    corpus side is a map-only explode + broadcast semi-join + hash-agg
+    on ``id``: exactly one shuffle, keyed by doc id (uniform, no skew).
+    If the eval side ever outgrew the broadcast threshold, AQE degrades
+    it to a shuffle join with identical semantics.
+    """
+    grams = word_shingles(F.col(text_col), k=n)
+    eval_grams = (
+        eval_set.select(F.explode(grams).alias("g")).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            (F.coalesce("n_hit_grams", F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concatenate-then-chunk token-budget assignment
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: Column,
+    budget: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each document a position in a concatenated token stream and
+    the training-sequence id it starts in (GPT-style concatenate-then-
+    chunk packing: docs are laid end-to-end in deterministic ``id`` order
+    and the stream is cut every ``budget`` tokens).
+
+    Returns ``(group_cols..., id, n_tokens, offset, seq_id)`` where
+    ``offset`` is the doc's start position in its group's stream and
+    ``seq_id = offset // budget``.
+
+    Scale: one window per group (partitionBy ``group_cols``, orderBy
+    ``id``) — a single hash shuffle on the group key and a per-group
+    sort, never a global sort. Group by shard-sized keys (language ×
+    source × date) so each window partition is bounded; the assignment
+    is a pure function of (group, id order, token counts), so re-runs
+    and retries are stable.
+    """
+    group_cols = group_cols or []
+    w = (
+        Window.partitionBy(*group_cols).orderBy(id_col)
+        if group_cols
+        else Window.orderBy(id_col)
+    )
+    out = df.select(
+        *group_cols,
+        F.col(id_col),
+        token_count_col.cast("long").alias("n_tokens"),
+    ).withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+    )
+    return out.withColumn(
+        "seq_id", F.floor(F.col("offset") / budget).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows, chosen by md5 hash of the id
+    rather than an RNG — the domain-mixing primitive of corpus curation
+    ("keep 100% of books, 10% of web").
+
+    Scale: a pure projection + filter (no shuffle, no RNG state): any
+    executor keeps the same rows for the same ids, so samples are stable
+    across retries, cluster sizes, and incremental re-runs; per-stratum
+    rates hold within every partition, not just globally. The rate map
+    is embedded as a literal CASE — no join at all.
+    """
+    b = hash_bucket(F.col(id_col), n_buckets)
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        thresh = int(round(rate * n_buckets))
+        cond = F.col(strata_col) == stratum
+        expr = (
+            F.when(cond, F.lit(thresh))
+            if expr is None
+            else expr.when(cond, F.lit(thresh))
+        )
+    thresh_col = (
+        expr.otherwise(F.lit(int(round(default_rate * n_buckets))))
+        if expr is not None
+        else F.lit(int(round(default_rate * n_buckets)))
+    )
+    return df.filter(b < thresh_col)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Global top-k token frequencies ``(token, cnt)`` with a
+    deterministic tie-break (count desc, token asc).
+
+    Scale: explode + hash-agg on token (map-side combine absorbs hot
+    tokens — the classic word-count skew is gone before the shuffle),
+    then the top-k is a ``TakeOrdered`` (per-partition heap + driver
+    merge of k rows), never a global sort of the vocabulary.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling
+# ---------------------------------------------------------------------------
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data-profile summary: ``(col_name, n_rows, n_nulls,
+    n_distinct, min_val, max_val)`` with min/max rendered as strings so
+    heterogeneous column types stack into one frame.
+
+    Scale: a single full-scan aggregation producing ONE driver-side row
+    (all columns' stats at once — partial aggregation map-side), then the
+    per-column un-pivot is a zero-cost projection of that row via
+    ``stack``. Exact distinct counts expand the plan per distinct column;
+    for 100 TB profiling swap ``approx_count_distinct`` in via
+    ``exact_distinct=False`` — same shape, sketch-mergeable, one pass.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack_args: list[Column] = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__nulls"),
+            F.col(f"{c}__nd"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    return one.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("col_name", "n_nulls", "n_distinct", "min_val", "max_val"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+# ---------------------------------------------------------------------------
+# Repetition-ratio quality signal (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc repetition signals: token count, distinct-token ratio, and
+    the share of the single most frequent token (high share = boilerplate
+    / keyword-stuffed doc — the Gopher repetition filters' core signal).
+
+    Returns ``(id, n_tokens, distinct_ratio, top_token_share)``.
+
+    Scale: explode + two hash-aggs keyed by (doc, token) then doc —
+    both shuffles are keyed by doc id so they're uniform; nothing is
+    quadratic in doc length and no window over the full corpus exists.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    ).filter(F.length("token") > 0)
+    per_token = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_token.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        (F.count(F.lit(1)) / F.sum("cnt")).alias("distinct_ratio"),
+        (F.max("cnt") / F.sum("cnt")).alias("top_token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_NUM_RE = "[0-9][0-9 .-]{6,}[0-9]"
+
+
+def redact_pii(
+    text: Column,
+    email_token: str = "<EMAIL>",
+    number_token: str = "<NUM>",
+) -> Column:
+    """Mask emails and long digit runs (phone/card shapes) with
+    placeholder tokens. Both patterns are RE2-compatible so external
+    systems (and the DuckDB oracle) reproduce the exact output.
+
+    Scale: pure codegen projection — two ``regexp_replace`` passes, no
+    UDF, no shuffle; linear in corpus bytes and embarrassingly parallel.
+    """
+    out = F.regexp_replace(text, EMAIL_RE, email_token)
+    return F.regexp_replace(out, LONG_NUM_RE, number_token)
+
+
+def pii_report(
+    df: DataFrame, id_col: str, text: Column
+) -> DataFrame:
+    """Per-row redaction report: ``(id, clean_text, n_emails, n_numbers)``."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0))
+    n_numbers = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+            F.lit(LONG_NUM_RE),
+            0,
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        redact_pii(text).alias("clean_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_numbers.cast("int").alias("n_numbers"),
+    )

@@ -1859,3 +1859,384 @@ def x44_scd2_history(spark, sf_dir):
         tie_break="event_id",
     )
     return hist.withColumn("version", F.col("version").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-pipeline operators (operators/corpus.py): decontamination,
+# packing, sampling, vocabulary, profiling, repetition quality, PII
+# ---------------------------------------------------------------------------
+
+_X45_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3 + 1, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM words
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+), hits AS (
+  SELECT c.doc_id, count(*) AS n_hit_grams
+  FROM grams c JOIN eval_grams e ON c.g = e.g
+  WHERE c.doc_id % 20 <> 0
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(h.n_hit_grams, 0) >= 5 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 20 <> 0
+"""
+
+
+@register("x45_decontaminate", _X45_SQL)
+def x45_decontaminate(spark, sf_dir):
+    # eval-set decontamination: held-out docs (doc_id % 20 = 0) play the
+    # benchmark; their distinct 3-grams broadcast against the corpus
+    from dirty_js_etl_spark.operators.corpus import decontaminate
+
+    docs = _cat(spark, sf_dir).read("documents")
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontaminate(corpus, eval_set, n=3, min_hits=5)
+
+
+@register(
+    "x46_pack_sequences",
+    f"""
+WITH t AS (
+  SELECT lang, doc_id,
+         CAST(length(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(coalesce(sum(n_tokens) OVER (
+         PARTITION BY lang ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS offset,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+         PARTITION BY lang ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+         AS BIGINT) AS seq_id
+FROM t
+""",
+)
+def x46_pack_sequences(spark, sf_dir):
+    # concatenate-then-chunk packing into 2048-token sequences per lang
+    from dirty_js_etl_spark.operators.corpus import pack_sequences
+    from dirty_js_etl_spark.operators.text import token_count
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return pack_sequences(
+        docs, "doc_id", token_count(F.col("text")), 2048, ["lang"]
+    )
+
+
+@register(
+    "x47_stratified_sample",
+    """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 100 <
+      CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 20
+                ELSE 10 END
+""",
+)
+def x47_stratified_sample(spark, sf_dir):
+    # hash-keyed domain mixing: keep 100% en / 50% de / 20% fr / 10% rest
+    from dirty_js_etl_spark.operators.corpus import stratified_sample
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang", "source"),
+        "doc_id",
+        "lang",
+        {"en": 1.0, "de": 0.5, "fr": 0.2},
+        default_rate=0.1,
+    )
+
+
+@register(
+    "x48_vocab_topk",
+    f"""
+WITH tok AS (
+  SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM tok WHERE length(token) > 0
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 50
+""",
+)
+def x48_vocab_topk(spark, sf_dir):
+    from dirty_js_etl_spark.operators.corpus import vocab_topk
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return vocab_topk(docs, "text", k=50)
+
+
+@register(
+    "x49_profile_table",
+    """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+SELECT 'o_orderkey' AS col_name, n.n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+       CAST(max(o_orderkey) AS VARCHAR) AS max_val
+FROM orders, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'o_orderstatus', n.n_rows,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       min(o_orderstatus), max(o_orderstatus)
+FROM orders, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'o_orderpriority', n.n_rows,
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       min(o_orderpriority), max(o_orderpriority)
+FROM orders, n GROUP BY n.n_rows
+""",
+)
+def x49_profile_table(spark, sf_dir):
+    from dirty_js_etl_spark.operators.corpus import profile_table
+
+    orders = _cat(spark, sf_dir).read("orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+@register(
+    "x50_repetition_stats",
+    f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS token
+  FROM documents
+), per AS (
+  SELECT doc_id, token, count(*) AS cnt FROM tok
+  WHERE length(token) > 0 GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       count(*) / CAST(sum(cnt) AS DOUBLE) AS distinct_ratio,
+       max(cnt) / CAST(sum(cnt) AS DOUBLE) AS top_token_share
+FROM per GROUP BY doc_id
+""",
+)
+def x50_repetition_stats(spark, sf_dir):
+    from dirty_js_etl_spark.operators.corpus import repetition_stats
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return repetition_stats(docs)
+
+
+@register(
+    "x51_pii_redact",
+    """
+WITH s AS (
+  SELECT c_custkey,
+         c_name || ' <u' || CAST(c_custkey AS VARCHAR)
+                || '@example.com> card 4111 1111 1111 '
+                || CAST(1000 + c_custkey % 9000 AS VARCHAR) AS text
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '[0-9][0-9 .-]{6,}[0-9]', '<NUM>', 'g') AS clean_text,
+       CAST(length(regexp_split_to_array(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1 AS INT)
+         AS n_emails,
+       CAST(length(regexp_split_to_array(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9][0-9 .-]{6,}[0-9]')) - 1 AS INT) AS n_numbers
+FROM s
+""",
+)
+def x51_pii_redact(spark, sf_dir):
+    # synthetic PII (email + card shape) stitched onto customer rows so
+    # the redaction path is exercised on real data volumes
+    from dirty_js_etl_spark.operators.corpus import pii_report
+
+    cust = _cat(spark, sf_dir).read("customer")
+    text = F.concat(
+        F.col("c_name"),
+        F.lit(" <u"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com> card 4111 1111 1111 "),
+        (1000 + F.col("c_custkey") % 9000).cast("string"),
+    )
+    return pii_report(cust, "c_custkey", text)
+
+
+# ---------------------------------------------------------------------------
+# More TPC-H analogs: Q6 / Q10 / Q14 / Q18 shapes on the fixture schema
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x52_tpch_q6",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def x52_tpch_q6(spark, sf_dir):
+    # pure filter+agg: every predicate reaches the parquet scan
+    li = _cat(spark, sf_dir).read("lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "x53_tpch_q10",
+    f"""
+SELECT c_custkey, c_name,
+       CAST(sum({_DEC}) AS DOUBLE) AS revenue,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+""",
+)
+def x53_tpch_q10(spark, sf_dir):
+    # returned-item revenue by customer; nation broadcast, facts shuffle
+    # once on the join key then once for the agg
+    cat = _cat(spark, sf_dir)
+    c, o, li, n = (
+        cat.read("customer"),
+        cat.read("orders"),
+        cat.read("lineitem"),
+        cat.read("nation"),
+    )
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = li.filter(F.col("l_returnflag") == "R")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@register(
+    "x54_tpch_q14",
+    f"""
+SELECT CAST(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_DEC}
+                              ELSE CAST(0 AS DECIMAL(18,2)) END)
+            / sum({_DEC}) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+""",
+)
+def x54_tpch_q14(spark, sf_dir):
+    # promo revenue share: part is dimension-sized -> broadcast; the
+    # filtered lineitem month never shuffles
+    cat = _cat(spark, sf_dir)
+    li = cat.read("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = cat.read("part")
+    disc = _disc_price()
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), disc
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(disc))
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "x55_tpch_q18",
+    """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       sum(l_quantity) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+)
+def x55_tpch_q18(spark, sf_dir):
+    # large-volume orders: the HAVING pre-agg is tiny -> broadcast
+    # semi-join back into the fact pipeline
+    cat = _cat(spark, sf_dir)
+    c, o, li = cat.read("customer"), cat.read("orders"), cat.read("lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(
+            F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+            F.col("o_orderkey") == F.col("bk"),
+            "left_semi",
+        )
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )

@@ -1,0 +1,125 @@
+"""Corpus-pipeline operators (operators/corpus.py): decontamination,
+sequence packing, stratified sampling, vocabulary, profiling, repetition
+quality, PII redaction — semantics on crafted micro-frames plus
+partition-invariance where determinism is the contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.operators.corpus import (
+    decontaminate,
+    pack_sequences,
+    pii_report,
+    profile_table,
+    redact_pii,
+    repetition_stats,
+    stratified_sample,
+    vocab_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def test_decontaminate_flags_overlap(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares grams with eval
+            (2, "zeta eta theta iota kappa"),  # disjoint
+        ],
+    )
+    eval_set = _docs(spark, [(100, "alpha beta gamma delta")])
+    out = {
+        r["doc_id"]: (r["n_hit_grams"], r["contaminated"])
+        for r in decontaminate(corpus, eval_set, n=3, min_hits=2).collect()
+    }
+    # eval 3-grams: {alpha beta gamma, beta gamma delta}; doc 1 has both
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    df = spark.createDataFrame(
+        [("en", 1, 100), ("en", 2, 50), ("en", 3, 80), ("de", 7, 10)],
+        "lang string, doc_id long, n long",
+    )
+    out = {
+        r["doc_id"]: (r["offset"], r["seq_id"])
+        for r in pack_sequences(
+            df, "doc_id", F.col("n"), budget=128, group_cols=["lang"]
+        ).collect()
+    }
+    # en stream: doc1 @0 (seq 0), doc2 @100 (seq 0), doc3 @150 (seq 1)
+    assert out[1] == (0, 0)
+    assert out[2] == (100, 0)
+    assert out[3] == (150, 1)
+    assert out[7] == (0, 0)  # de group starts its own stream
+
+
+def test_pack_sequences_partition_invariant(spark, catalog):
+    docs = catalog.read("documents").select(
+        "lang", "doc_id", F.length("text").alias("n")
+    )
+    a = pack_sequences(docs, "doc_id", F.col("n"), 4096, ["lang"])
+    b = pack_sequences(
+        docs.repartition(13), "doc_id", F.col("n"), 4096, ["lang"]
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    out = stratified_sample(df, "k", "s", {"a": 1.0, "b": 0.0})
+    kept = out.groupBy("s").count().collect()
+    assert {r["s"]: r["count"] for r in kept} == {"a": 2500}
+    # half-rate stratum lands near 50% (hash-uniform, not RNG)
+    half = stratified_sample(df, "k", "s", {"a": 0.5}, default_rate=0.5)
+    assert abs(half.count() / 5000 - 0.5) < 0.03
+
+
+def test_vocab_topk_tie_break(spark):
+    df = _docs(spark, [(1, "b b a a c")])
+    rows = vocab_topk(df, "text", k=2).collect()
+    assert [(r["token"], r["cnt"]) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_profile_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], "k long, v string"
+    )
+    out = {r["col_name"]: r for r in profile_table(df, ["k", "v"]).collect()}
+    assert out["k"]["n_rows"] == 3
+    assert out["k"]["n_nulls"] == 0
+    assert out["k"]["n_distinct"] == 2
+    assert (out["k"]["min_val"], out["k"]["max_val"]) == ("1", "2")
+    assert out["v"]["n_nulls"] == 1
+    assert out["v"]["n_distinct"] == 2
+
+
+def test_repetition_stats_signal(spark):
+    df = _docs(spark, [(1, "spam spam spam spam"), (2, "a b c d")])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top_token_share"] == 1.0
+    assert out[1]["distinct_ratio"] == 0.25
+    assert out[2]["top_token_share"] == 0.25
+    assert out[2]["distinct_ratio"] == 1.0
+
+
+def test_redact_pii_masks(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or call 415-555-0199 now")],
+        "k long, t string",
+    )
+    row = df.select(redact_pii(F.col("t")).alias("c")).first()
+    assert row["c"] == "mail <EMAIL> or call <NUM> now"
+    rep = pii_report(df, "k", F.col("t")).first()
+    assert (rep["n_emails"], rep["n_numbers"]) == (1, 1)
