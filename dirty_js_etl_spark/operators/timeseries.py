@@ -1,0 +1,69 @@
+"""Time-series resampling: regular-grid gap fill with forward fill.
+
+No reference analog (SURVEY.md §2.3 — no window functions, no
+time-series ops); this is the standard "resample events onto an hourly
+grid and carry the last observation forward" operator that Spark has no
+built-in for, composed from sequence+explode and an IGNORE NULLS window.
+
+Scale: every stage is keyed by the series key — the per-hour
+last-value agg, the bounds agg, the grid join, and the forward-fill
+window all partition on ``key_col``, so one logical co-partitioning
+serves the whole pipeline (AQE reuses the exchange where shapes allow)
+and series are processed independently across executors. Grid explosion
+is bounded by (span hours × keys), not events; the window is per-key,
+never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_grid_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_break: str = "event_id",
+) -> DataFrame:
+    """One row per (key, hour) between each key's first and last event
+    hour, carrying the hour's last observed value forward through empty
+    hours. Deterministic: "last" is by (ts, tie_break) desc.
+
+    Returns ``(key, hour, filled_value)``.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    w_last = Window.partitionBy(key_col, "hour").orderBy(
+        F.desc(ts_col), F.desc(tie_break)
+    )
+    hourly = (
+        events.select(
+            F.col(key_col), hour.alias("hour"), F.col(value_col), F.col(ts_col),
+            F.col(tie_break),
+        )
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(key_col, "hour", F.col(value_col).alias("hour_value"))
+    )
+    bounds = hourly.groupBy(key_col).agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, [key_col, "hour"], "left")
+        .withColumn(
+            "filled_value", F.last("hour_value", ignorenulls=True).over(w_fill)
+        )
+        .select(key_col, "hour", "filled_value")
+    )
