@@ -53,3 +53,35 @@ def test_grouping_pruned_to_needed_columns(spark):
     plan = _plan(spark, "c11_t4_grouping")
     # lineitem is 16 columns; the grouped mapping needs 4
     assert "l_returnflag" in plan and "l_extendedprice" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    # the TB-side corpus must never shuffle on the gram key: the eval
+    # gram table broadcasts, the only exchange is the doc-id agg
+    plan = _plan(spark, "x45_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scalar_subquery_broadcasts_agg(spark):
+    plan = _plan(spark, "x56_scalar_subquery")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_no_global_sort(spark):
+    # per-group windows: every Sort in the plan is partition-local
+    plan = _plan(spark, "x46_pack_sequences")
+    assert "Sort [lang" in plan
+    assert "Sort [doc_id" not in plan.replace("Sort [lang", "")
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    plan = _plan(spark, "x48_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_profile_table_single_pass(spark):
+    # one scan of orders feeds every per-column stat
+    plan = _plan(spark, "x49_profile_table")
+    assert plan.count("Scan parquet") == 1
