@@ -2414,3 +2414,175 @@ def x60_curate_corpus(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame windows, stream-static join, funnel analysis, Pandas-UDF
+# extension path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x61_moving_avg_range",
+    """
+SELECT event_id, user_id, ts,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS mavg_1h
+FROM events
+""",
+)
+def x61_moving_avg_range(spark, sf_dir):
+    # time-range window frame (RANGE, not ROWS): the trailing-hour mean
+    # per user -- per-key window, one hash shuffle on user_id, sort is
+    # partition-local; frames are value-ranges so ts gaps are handled
+    from pyspark.sql import Window
+
+    events = _cat(spark, sf_dir).read("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("mavg_1h"),
+    )
+
+
+@register(
+    "x62_stream_static_join",
+    """
+SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def x62_stream_static_join(spark, sf_dir):
+    # stream-static enrichment: the static dim broadcasts into every
+    # micro-batch (no stream-side shuffle for the join); converges to the
+    # batch join+agg when the finite source drains
+    from dirty_js_etl_spark.streaming.events import read_events_stream
+
+    cust = _cat(spark, sf_dir).read("customer")
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey, "left"
+    ).select(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("mktsegment"),
+        "value",
+    )
+    agg = enriched.groupBy("mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    name = f"stream_static_{next(_STREAM_COUNTER)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@register(
+    "x63_funnel",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+            WHEN c.user_id IS NOT NULL THEN 'click'
+            ELSE 'view' END AS funnel_stage,
+       v.t_view, c.t_click, p.t_purchase
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def x63_funnel(spark, sf_dir):
+    # ordered-funnel analysis (view -> click after view -> purchase after
+    # click): three per-user min-aggs chained by left joins, all keyed on
+    # user_id -- one co-partitioning serves every stage
+    events = _cat(spark, sf_dir).read("events")
+
+    def first_after(df, etype, prev, prev_ts):
+        e = events.filter(F.col("event_type") == etype).alias("e")
+        return (
+            e.join(prev, F.col("e.user_id") == prev["user_id"])
+            .filter(F.col("e.ts") > prev[prev_ts])
+            .groupBy(F.col("e.user_id").alias("user_id"))
+            .agg(F.min("e.ts").alias(f"t_{etype}"))
+        )
+
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = first_after(events, "click", v, "t_view")
+    p = first_after(events, "purchase", c, "t_click")
+    return (
+        v.join(c.withColumnRenamed("user_id", "cu"), v.user_id == F.col("cu"), "left")
+        .join(p.withColumnRenamed("user_id", "pu"), v.user_id == F.col("pu"), "left")
+        .select(
+            "user_id",
+            F.when(F.col("pu").isNotNull(), "purchase")
+            .when(F.col("cu").isNotNull(), "click")
+            .otherwise("view")
+            .alias("funnel_stage"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+        )
+    )
+
+
+@register(
+    "x64_pandas_udf_log1p",
+    """
+SELECT event_id, round(ln(1 + value), 6) AS log1p_value
+FROM events WHERE value >= 0
+""",
+)
+def x64_pandas_udf_log1p(spark, sf_dir):
+    # the C14 extension path when no builtin matches: an Arrow-batched
+    # pandas UDF registered by name and resolved through the Sql/
+    # SqlFunction combinators -- vectorized numpy on the executor,
+    # never row-at-a-time
+    from dirty_js_etl_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)
+    spec = _select_spec(
+        {
+            "event_id": DirectCopy("event_id"),
+            "log1p_value": Sql("round(log1p_val(value), 6)", columns=["value"]),
+        },
+        source="events",
+    )
+    events = _cat(spark, sf_dir).read("events").filter(F.col("value") >= 0)
+    cat = _cat(spark, sf_dir)
+    cat.register("events", events)
+    return compile_mapping(spec, cat).projected
