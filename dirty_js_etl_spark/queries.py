@@ -2586,3 +2586,47 @@ def x64_pandas_udf_log1p(spark, sf_dir):
     cat = _cat(spark, sf_dir)
     cat.register("events", events)
     return compile_mapping(spec, cat).projected
+
+
+@register(
+    "x65_cube_agg",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def x65_cube_agg(spark, sf_dir):
+    # CUBE: all 4 grouping combinations in ONE shuffle (Expand feeds a
+    # single hash-agg) -- the multi-dimensional report shape
+    o = _cat(spark, sf_dir).read("orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
+    "x66_ntile_deciles",
+    """
+SELECT c_custkey,
+       CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS decile
+FROM customer
+""",
+)
+def x66_ntile_deciles(spark, sf_dir):
+    # decile bucketing; deterministic via the (acctbal, custkey) total
+    # order. A global ntile needs a single ordered partition -- at 100 TB
+    # use hash_bucket quantile boundaries (x35's approx sketch) instead;
+    # this is the exact small-dimension form
+    from pyspark.sql import Window
+
+    c = _cat(spark, sf_dir).read("customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", F.ntile(10).over(w).cast("int").alias("decile")
+    )
