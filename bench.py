@@ -58,6 +58,10 @@ HEADLINE = [
     "x50_repetition_stats",
     "x52_tpch_q6",
     "x55_tpch_q18",
+    "x58_hourly_grid_fill",
+    "x60_curate_corpus",
+    "x63_funnel",
+    "x67_snapshot_diff",
 ]
 
 

@@ -2630,3 +2630,112 @@ def x66_ntile_deciles(spark, sf_dir):
     return c.select(
         "c_custkey", F.ntile(10).over(w).cast("int").alias("decile")
     )
+
+
+@register(
+    "x67_snapshot_diff",
+    """
+WITH old AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 <> 3
+), new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'SHIFTED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 <> 4
+)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'INSERT'
+            WHEN n.c_custkey IS NULL THEN 'DELETE'
+            ELSE 'UPDATE' END AS change
+FROM old o FULL JOIN new n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+""",
+)
+def x67_snapshot_diff(spark, sf_dir):
+    # CDC between two table snapshots: one full-outer co-partitioned
+    # join on the key; emits only INSERT/DELETE/UPDATE rows (the T6
+    # audit stream generalized to snapshot pairs)
+    c = _cat(spark, sf_dir).read("customer")
+    old = c.filter(F.col("c_custkey") % 10 != 3).select(
+        "c_custkey", "c_mktsegment"
+    )
+    new = c.filter(F.col("c_custkey") % 10 != 4).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, "SHIFTED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return (
+        o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+        .filter(
+            F.col("o.c_custkey").isNull()
+            | F.col("n.c_custkey").isNull()
+            | ~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment"))
+        )
+        .select(
+            F.coalesce("o.c_custkey", "n.c_custkey").alias("c_custkey"),
+            F.when(F.col("o.c_custkey").isNull(), "INSERT")
+            .when(F.col("n.c_custkey").isNull(), "DELETE")
+            .otherwise("UPDATE")
+            .alias("change"),
+        )
+    )
+
+
+@register(
+    "x68_integrity_audit",
+    """
+SELECT 'lineitem.l_orderkey->orders' AS fk,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+""",
+)
+def x68_integrity_audit(spark, sf_dir):
+    # referential-integrity audit (the check the reference's FK lookups
+    # silently skip -- unmatched lookups emit NULL, mappr.js:283-307):
+    # orphan counts per declared FK edge; each edge is one left join
+    # where the parent side broadcasts when dimension-sized
+    cat = _cat(spark, sf_dir)
+
+    def edge(child, ckey, parent, pkey, label, broadcast_parent):
+        p = cat.read(parent).select(pkey)
+        if broadcast_parent:
+            p = F.broadcast(p)
+        return (
+            cat.read(child)
+            .select(ckey)
+            .join(p, F.col(ckey) == F.col(pkey), "left")
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(pkey).isNull().cast("long")).alias("n_orphans"),
+            )
+            .select("fk", "n_rows", "n_orphans")
+        )
+
+    return (
+        edge("lineitem", "l_orderkey", "orders", "o_orderkey",
+             "lineitem.l_orderkey->orders", False)
+        .unionAll(
+            edge("orders", "o_custkey", "customer", "c_custkey",
+                 "orders.o_custkey->customer", True)
+        )
+        .unionAll(
+            edge("customer", "c_nationkey", "nation", "n_nationkey",
+                 "customer.c_nationkey->nation", True)
+        )
+    )
