@@ -2739,3 +2739,96 @@ def x68_integrity_audit(spark, sf_dir):
                  "customer.c_nationkey->nation", True)
         )
     )
+
+
+@register(
+    "x69_histogram",
+    """
+WITH b AS (
+  SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo,
+         CAST(max(o_totalprice) AS DOUBLE) AS hi
+  FROM orders
+)
+SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19) AS INT)
+         AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders, b
+GROUP BY 1
+""",
+)
+def x69_histogram(spark, sf_dir):
+    # equal-width histogram: the (min, max) scalar pair broadcasts, the
+    # binning is a codegen projection, one hash-agg on the bin id
+    o = _cat(spark, sf_dir).read("orders")
+    bounds = o.agg(
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    return (
+        o.join(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+                F.lit(19),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "x70_corr_cov",
+    """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov,
+       round(stddev_samp(l_quantity), 6) AS qty_std
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def x70_corr_cov(spark, sf_dir):
+    # statistical aggregates (corr / covariance / stddev): single-pass
+    # partial+final moments, one shuffle keyed by group
+    li = _cat(spark, sf_dir).read("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "qty_disc_cov"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
+    )
+
+
+@register(
+    "x71_argmax_per_group",
+    """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS top_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS top_price
+FROM ranked WHERE rn = 1
+""",
+)
+def x71_argmax_per_group(spark, sf_dir):
+    # argmax without a window: max_by over a (price, key) struct is a
+    # plain aggregation -- map-side partial argmax, no per-group sort;
+    # strictly cheaper than row_number at scale
+    o = _cat(spark, sf_dir).read("orders")
+    best = F.max_by(
+        F.struct("o_orderkey", "o_totalprice"),
+        F.struct("o_totalprice", "o_orderkey"),
+    )
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        best.getField("o_orderkey").alias("top_orderkey"),
+        best.getField("o_totalprice").cast("double").alias("top_price"),
+    )
