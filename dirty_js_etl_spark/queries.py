@@ -2832,3 +2832,127 @@ def x71_argmax_per_group(spark, sf_dir):
         best.getField("o_orderkey").alias("top_orderkey"),
         best.getField("o_totalprice").cast("double").alias("top_price"),
     )
+
+
+@register(
+    "x72_sessionize_batch",
+    """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events, min(ts) AS session_start
+FROM sess GROUP BY 1, 2
+""",
+)
+def x72_sessionize_batch(spark, sf_dir):
+    # batch gap-based sessionization (30-min inactivity): the classic
+    # lag -> flag -> running-sum composition.  One shuffle on user_id
+    # serves BOTH window passes and the final per-session aggregate
+    # (Catalyst reuses the partitioning); sort is per-user within a
+    # partition, never global.  The streaming twin is the
+    # applyInPandasWithState sessionizer in streaming/sessions.py.
+    from pyspark.sql import Window
+
+    ev = _cat(spark, sf_dir).read("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+    )
+
+
+@register(
+    "x73_part_cooccurrence",
+    """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def x73_part_cooccurrence(spark, sf_dir):
+    # market-basket pair mining: which parts ship together in >= 2
+    # orders.  Self-join on l_orderkey is co-partitioned -- both sides
+    # hash to the same exchange, so Spark shuffles the deduped
+    # (order, part) projection once and joins partition-locally; the
+    # pair blow-up is bounded per order (lines-per-order choose 2),
+    # never global.
+    li = _cat(spark, sf_dir).read("lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = op.alias("a").join(
+        op.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "x74_new_vs_returning",
+    """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1)
+SELECT e.event_type,
+       CASE WHEN CAST(e.ts AS DATE) = CAST(f.first_ts AS DATE)
+            THEN 'new' ELSE 'returning' END AS cohort,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def x74_new_vs_returning(spark, sf_dir):
+    # cohort split: events on the user's first-seen day are 'new'.
+    # The per-user min(ts) aggregate is |users| rows -- tiny relative
+    # to the event stream -- so it broadcasts back onto events and the
+    # enrichment join costs no shuffle; only the first agg shuffles.
+    ev = _cat(spark, sf_dir).read("events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "event_type",
+            F.when(
+                F.to_date("ts") == F.to_date("first_ts"), "new"
+            )
+            .otherwise("returning")
+            .alias("cohort"),
+        )
+        .groupBy("event_type", "cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
