@@ -151,3 +151,51 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(col))
         .withColumn("fingerprint", fingerprint_md5(col))
     )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``(doc_id, term, tfidf, rank)`` with ``idf = ln(N / df)`` and a
+    deterministic tie-break (score desc, term asc).
+
+    Scale: term frequencies are one hash-agg keyed ``(doc, token)``
+    (map-side combine absorbs repeated tokens before the shuffle); the
+    document-frequency relation is |vocab| rows — bounded and tiny
+    relative to the corpus — so it and the 1-row corpus count broadcast
+    back, costing no second data shuffle; the final per-doc top-k is a
+    window over the doc partitioning the tf agg already established.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            F.col("token").alias("term"),
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

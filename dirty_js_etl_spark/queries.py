@@ -2956,3 +2956,68 @@ def x74_new_vs_returning(spark, sf_dir):
         .groupBy("event_type", "cohort")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "x75_tfidf_topk",
+    f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split({_NORM_SQL}, ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE length(token) > 0 GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token AS term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 3
+""",
+)
+def x75_tfidf_topk(spark, sf_dir):
+    from dirty_js_etl_spark.operators.text import tfidf_topk
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "x76_hopping_window",
+    """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) ks
+GROUP BY 1
+""",
+)
+def x76_hopping_window(spark, sf_dir):
+    # hopping (sliding) time windows via F.window(60m width, 30m slide):
+    # each event lands in exactly width/slide = 2 windows.  Spark expands
+    # the assignment as a generator projection (no self-union of the
+    # scan) and the agg is one shuffle keyed by window start; identical
+    # code runs under readStream with a watermark.  Epoch-aligned on
+    # both engines, so the oracle reconstructs the same grid with
+    # time_bucket minus k*slide.
+    ev = _cat(spark, sf_dir).read("events")
+    return (
+        ev.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "n_users"
+        )
+    )
