@@ -3021,3 +3021,74 @@ def x76_hopping_window(spark, sf_dir):
             F.col("w.start").alias("window_start"), "n_events", "n_users"
         )
     )
+
+
+@register(
+    "x77_retention_matrix",
+    """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS d0 FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', f.d0, a.d) AS INT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+WHERE date_diff('day', f.d0, a.d) <= 7
+GROUP BY 1, 2
+""",
+)
+def x77_retention_matrix(spark, sf_dir):
+    # D0..D7 cohort retention: users first seen on cohort_day who were
+    # active again day_offset days later.  Both the first-seen relation
+    # and the distinct (user, day) activity relation are agg-reduced to
+    # |users|-scale before joining, and first-seen broadcasts -- the
+    # event stream itself is only scanned once.
+    ev = _cat(spark, sf_dir).read("events")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0")
+    )
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    off = F.datediff("d", "d0")
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .filter(off <= 7)
+        .groupBy(
+            F.col("d0").cast("string").alias("cohort_day"),
+            off.cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "x78_filtered_agg",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+         AS n_finished,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value
+FROM orders
+GROUP BY 1
+""",
+)
+def x78_filtered_agg(spark, sf_dir):
+    # conditional aggregation (SQL FILTER clause): one scan, one
+    # hash-agg -- each conditional is a when() inside the partial agg,
+    # never a second pass or a self-join per condition.
+    o = _cat(spark, sf_dir).read("orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias(
+            "n_finished"
+        ),
+        F.sum(F.when(F.col("o_orderstatus") == "O", dec))
+        .cast("double")
+        .alias("open_value"),
+    )
