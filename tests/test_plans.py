@@ -85,3 +85,12 @@ def test_profile_table_single_pass(spark):
     # one scan of orders feeds every per-column stat
     plan = _plan(spark, "x49_profile_table")
     assert plan.count("Scan parquet") == 1
+
+
+def test_funnel_single_scan_single_shuffle(spark):
+    # the windowed funnel reads events once and exchanges once: the
+    # three chained conditional mins share the user_id window
+    # partitioning, and the final same-key groupBy reuses it
+    plan = _plan(spark, "x63_funnel")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
