@@ -3103,3 +3103,44 @@ def x78_filtered_agg(spark, sf_dir):
         .cast("double")
         .alias("open_value"),
     )
+
+
+@register(
+    "x79_distribution_ranks",
+    """
+WITH r AS (
+  SELECT c_mktsegment, c_acctbal,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+)
+SELECT c_mktsegment,
+       round(max(CASE WHEN cd <= 0.5 THEN c_acctbal END), 2) AS p50_floor,
+       round(max(pr), 6) AS max_pr,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1
+""",
+)
+def x79_distribution_ranks(spark, sf_dir):
+    # distribution analytics: percent_rank + cume_dist over the segment
+    # partition, reduced to a per-segment profile.  One shuffle keyed by
+    # segment serves the window sort AND the final agg; the rank pass is
+    # per-partition, never a global sort.
+    from pyspark.sql import Window
+
+    c = _cat(spark, sf_dir).read("customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    r = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.round(
+            F.max(F.when(F.col("cd") <= 0.5, F.col("c_acctbal"))), 2
+        ).alias("p50_floor"),
+        F.round(F.max("pr"), 6).alias("max_pr"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -94,3 +94,26 @@ def test_funnel_single_scan_single_shuffle(spark):
     plan = _plan(spark, "x63_funnel")
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_batch_single_shuffle(spark):
+    # lag -> flag -> running-sum -> per-session agg all share the
+    # user_id partitioning: one exchange end to end
+    plan = _plan(spark, "x72_sessionize_batch")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_broadcasts_df_and_count(spark):
+    # document-frequency (|vocab|) and the 1-row corpus count broadcast
+    # back onto the tf relation -- no token-keyed data shuffle for the
+    # join stage
+    plan = _plan(spark, "x75_tfidf_topk")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
+    assert "SortMergeJoin" not in plan
+
+
+def test_retention_broadcasts_first_seen(spark):
+    plan = _plan(spark, "x77_retention_matrix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
