@@ -2868,34 +2868,25 @@ FROM sess GROUP BY 1, 2
 """,
 )
 def x72_sessionize_batch(spark, sf_dir):
-    # batch gap-based sessionization (30-min inactivity): the classic
-    # lag -> flag -> running-sum composition.  One shuffle on user_id
-    # serves BOTH window passes and the final per-session aggregate
-    # (Catalyst reuses the partitioning); sort is per-user within a
-    # partition, never global.  The streaming twin is the
-    # applyInPandasWithState sessionizer in streaming/sessions.py.
-    from pyspark.sql import Window
+    # batch gap-based sessionization (30-min inactivity) via the
+    # sessionize operator: lag -> flag -> running-sum.  One shuffle on
+    # user_id serves both window passes and the final per-session
+    # aggregate (Catalyst reuses the partitioning, plan-tested); sort
+    # is per-user within a partition, never global.  The streaming
+    # twin is the applyInPandasWithState sessionizer in
+    # streaming/sessions.py.
+    from dirty_js_etl_spark.operators.events import sessionize
 
     ev = _cat(spark, sf_dir).read("events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    flagged = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_s"),
-    )
-    sess = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_s")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("int")
-        .alias("session_id"),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
+    return (
+        sessionize(ev, gap_minutes=30)
+        .groupBy(
+            "user_id", F.col("session_seq").cast("int").alias("session_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+        )
     )
 
 
