@@ -3135,3 +3135,29 @@ def x79_distribution_ranks(spark, sf_dir):
         F.round(F.max("pr"), 6).alias("max_pr"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "x80_streaming_hopping",
+    """
+SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes'
+         AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) ks
+GROUP BY 1
+""",
+)
+def x80_streaming_hopping(spark, sf_dir):
+    # hopping windows through readStream -> watermark -> writeStream:
+    # must converge to the batch hopping answer (x76) once the finite
+    # source drains.  State is one row per open window; the watermark
+    # bounds how many stay open at 100 TB/day ingest.
+    from dirty_js_etl_spark.streaming.events import (
+        hopping_rate,
+        run_stream_to_memory,
+    )
+
+    name = f"events_hopping_{next(_STREAM_COUNTER)}"
+    return run_stream_to_memory(
+        spark, sf_dir, query_name=name, transform=hopping_rate
+    )

@@ -68,8 +68,24 @@ def windowed_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def hopping_rate(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Hopping-window (60 m width / 30 m slide) event counts — the
+    streaming twin of the batch ``x76_hopping_window`` query (minus the
+    distinct-user count: distinct aggregations are unsupported in
+    streaming; the scale path for that is an HLL sketch merge)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
 def run_stream_to_memory(
-    spark: SparkSession, sf_dir: str, query_name: str = "events_rollup"
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "events_rollup",
+    transform=windowed_rollup,
 ) -> DataFrame:
     """Drive the stream to completion synchronously (memory sink +
     processAllAvailable) and return the result table — lets the batch
@@ -77,7 +93,7 @@ def run_stream_to_memory(
     fixture is a single finite file (watermark never advances past it)."""
     stream = read_events_stream(spark, sf_dir)
     q = (
-        windowed_rollup(stream)
+        transform(stream)
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
