@@ -15,7 +15,11 @@ Float-determinism rules used throughout (so cross-engine hashes match):
   and the *result* is cast to DOUBLE on both sides so the output type and
   bits agree;
 - double→int casts: Spark truncates toward zero, DuckDB rounds — oracles
-  spell ``CAST(trunc(x) AS INT)`` to pin truncation semantics.
+  spell ``CAST(trunc(x) AS INT)`` to pin truncation semantics;
+- ``round`` can yield IEEE −0.0 on one engine and +0.0 on the other
+  (hash mismatch): add ``+ 0.0`` after rounding to normalize;
+- regressions/moments over large-magnitude x (epoch seconds) are
+  cancellation-prone and engine-order-dependent — center x first.
 """
 
 from __future__ import annotations
@@ -3160,4 +3164,41 @@ def x80_streaming_hopping(spark, sf_dir):
     name = f"events_hopping_{next(_STREAM_COUNTER)}"
     return run_stream_to_memory(
         spark, sf_dir, query_name=name, transform=hopping_rate
+    )
+
+
+@register(
+    "x81_regression_per_group",
+    """
+WITH e AS (
+  SELECT event_type, value,
+         CAST(epoch(ts) - 1704067200 AS DOUBLE) AS x
+  FROM events
+)
+SELECT event_type,
+       round(regr_slope(value, x), 4) + 0.0 AS slope,
+       round(regr_intercept(value, x), 4) + 0.0 AS intercept,
+       round(regr_r2(value, x), 4) + 0.0 AS r2,
+       CAST(regr_count(value, x) AS BIGINT) AS n
+FROM e GROUP BY 1
+""",
+)
+def x81_regression_per_group(spark, sf_dir):
+    # per-group OLS trend (value over time) with the built-in regr_*
+    # aggregates: single-pass partial+final moment accumulation, one
+    # shuffle keyed by group -- the distributed form of a fit that is
+    # usually mis-written as a per-group collect
+    # x is centered on 2024-01-01 so the intercept sits at data scale --
+    # raw epoch seconds (~1.7e9) make slope/intercept catastrophically
+    # cancellation-prone and engine-order-dependent past ~3 decimals
+    ev = _cat(spark, sf_dir).read("events")
+    x = (F.unix_timestamp("ts") - F.lit(1704067200)).cast("double")
+    y = F.col("value")
+    # + 0.0 normalizes IEEE negative zero (round can yield -0.0 on one
+    # engine and +0.0 on the other, which hash differently)
+    return ev.groupBy("event_type").agg(
+        (F.round(F.regr_slope(y, x), 4) + 0.0).alias("slope"),
+        (F.round(F.regr_intercept(y, x), 4) + 0.0).alias("intercept"),
+        (F.round(F.regr_r2(y, x), 4) + 0.0).alias("r2"),
+        F.regr_count(y, x).alias("n"),
     )
