@@ -3202,3 +3202,85 @@ def x81_regression_per_group(spark, sf_dir):
         (F.round(F.regr_r2(y, x), 4) + 0.0).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@register(
+    "x82_tpch_q22",
+    """
+WITH ab AS (
+  SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS v
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS totacctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+CROSS JOIN ab
+WHERE c.c_acctbal > ab.v
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+""",
+)
+def x82_tpch_q22(spark, sf_dir):
+    # TPC-H Q22 analog (churned-customer shape): above-average balances
+    # with no orders since 2000.  Composition of three scale idioms --
+    # the 1-row average broadcasts (scalar subquery), the no-recent-
+    # orders test is a left_anti join on the customer key with the date
+    # predicate pushed to the orders scan, and the nation name is a
+    # broadcast dim lookup; the only data shuffle is the anti join's.
+    cat = _cat(spark, sf_dir)
+    c, n, o = cat.read("customer"), cat.read("nation"), cat.read("orders")
+    ab = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,2)")).alias("v")
+    )
+    rich = c.join(F.broadcast(ab)).filter(F.col("c_acctbal") > F.col("v"))
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    inactive = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        inactive.join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "x83_tpch_q16",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY 1, 2, 3
+""",
+)
+def x83_tpch_q16(spark, sf_dir):
+    # TPC-H Q16 analog (lineitem stands in for partsupp): distinct
+    # suppliers per part profile.  The part dim broadcasts onto the
+    # fact scan; Catalyst plans the distinct-agg as the two-phase
+    # expand (partial distinct on (group, suppkey), then final count)
+    # so hot part profiles never funnel through one reducer.
+    cat = _cat(spark, sf_dir)
+    li, p = cat.read("lineitem"), cat.read("part")
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") != "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
