@@ -19,7 +19,10 @@ Float-determinism rules used throughout (so cross-engine hashes match):
 - ``round`` can yield IEEE −0.0 on one engine and +0.0 on the other
   (hash mismatch): add ``+ 0.0`` after rounding to normalize;
 - regressions/moments over large-magnitude x (epoch seconds) are
-  cancellation-prone and engine-order-dependent — center x first.
+  cancellation-prone and engine-order-dependent — center x first;
+- DuckDB parses ``127.0`` as DECIMAL and FLOAT×DECIMAL *stays float32*
+  (Spark promotes to double) — oracles CAST float columns to DOUBLE
+  before arithmetic.
 """
 
 from __future__ import annotations
@@ -3283,4 +3286,54 @@ def x83_tpch_q16(spark, sf_dir):
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "x84_embedding_quantize",
+    """
+WITH mx AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding, v -> abs(v))), 1e-12)
+           AS amax
+  FROM embeddings
+)
+SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+       CAST(trunc(CAST(embedding[i] AS DOUBLE) * 127.0 / amax) AS INT)
+         AS q
+FROM mx, UNNEST(generate_series(1, len(embedding))) AS s(i)
+""",
+)
+def x84_embedding_quantize(spark, sf_dir):
+    # symmetric int8 quantization of embeddings (q = trunc(v * 127 /
+    # max|v|)), emitted long-form for the oracle.  Per-vector scale is
+    # an array fold (F.aggregate) and the expansion is posexplode --
+    # a pure map-only stage, no shuffle anywhere; at 100 TB this is
+    # the canonical pre-ANN compression pass (4x smaller index).
+    # trunc (not round) pins the tie-break identically on both engines.
+    emb = _cat(spark, sf_dir).read("embeddings")
+    amax = F.greatest(
+        F.aggregate(
+            F.transform("embedding", lambda v: F.abs(v)),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ),
+        F.lit(1e-12),
+    )
+    return emb.withColumn("amax", amax).select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+        "amax",
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        (F.col("v") * 127.0 / F.col("amax"))
+        .cast("double")
+        .alias("__x"),
+    ).select(
+        "vec_id",
+        "pos",
+        # Spark's double->int cast truncates toward zero; the oracle
+        # spells CAST(trunc(x) AS INT) to pin DuckDB to the same rule
+        F.col("__x").cast("int").alias("q"),
     )
