@@ -3337,3 +3337,53 @@ def x84_embedding_quantize(spark, sf_dir):
         # spells CAST(trunc(x) AS INT) to pin DuckDB to the same rule
         F.col("__x").cast("int").alias("q"),
     )
+
+
+@register(
+    "x85_chunk_documents",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil((len(toks) - 50) / 40.0) AS INT), 0) + 1 AS nc
+  FROM t
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, i * 40 + 1, i * 40 + 50), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(toks, i * 40 + 1, i * 40 + 50)) AS INT)
+         AS n_chunk_tokens
+FROM c, UNNEST(generate_series(0, nc - 1)) AS s(i)
+""",
+)
+def x85_chunk_documents(spark, sf_dir):
+    # overlapping token-window chunking (50-token chunks, stride 40):
+    # the context-window splitting step of a training/RAG pipeline.
+    # Entirely array expressions + posexplode -- map-only, no shuffle;
+    # output rows ~= corpus_tokens / stride regardless of doc skew, so
+    # a 1M-token document costs its own partition time but never a
+    # repartition.
+    from dirty_js_etl_spark.operators.text import tokens
+
+    docs = _cat(spark, sf_dir).read("documents")
+    toks = tokens(F.col("text"))
+    nc = (
+        F.greatest(
+            F.ceil((F.size(toks) - 50) / F.lit(40.0)).cast("int"), F.lit(0)
+        )
+        + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), nc - 1),
+        lambda i: F.slice(toks, i * 40 + 1, 50),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "ch"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.col("ch")).alias("chunk_text"),
+            F.size("ch").cast("int").alias("n_chunk_tokens"),
+        )
+    )
