@@ -3387,3 +3387,45 @@ def x85_chunk_documents(spark, sf_dir):
             F.size("ch").cast("int").alias("n_chunk_tokens"),
         )
     )
+
+
+@register(
+    "x86_zscore_anomalies",
+    """
+WITH stats AS (
+  SELECT event_type,
+         avg(value) AS mu,
+         stddev_samp(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(e.ts AS VARCHAR)[:10] AS day,
+       CAST(count(*) AS BIGINT) AS n_anomalies
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((e.value - s.mu) / sigma) > 3
+GROUP BY 1, 2
+""",
+)
+def x86_zscore_anomalies(spark, sf_dir):
+    # z-score outlier detection: per-type (mu, sigma) is a tiny agg
+    # (|event types| rows) that broadcasts back onto the stream; the
+    # anomaly test is a codegen projection and the daily rollup is the
+    # only data shuffle.  The |z|>3 cut compares ratios, not rounded
+    # values, so no cross-engine float drift can flip membership except
+    # exactly at the boundary (measure-zero).
+    ev = _cat(spark, sf_dir).read("events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(
+            F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 3
+        )
+        .groupBy(
+            "event_type",
+            F.substring(F.col("ts").cast("string"), 1, 10).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_anomalies"))
+    )
