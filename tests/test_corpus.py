@@ -123,3 +123,50 @@ def test_redact_pii_masks(spark):
     assert row["c"] == "mail <EMAIL> or call <NUM> now"
     rep = pii_report(df, "k", F.col("t")).first()
     assert (rep["n_emails"], rep["n_numbers"]) == (1, 1)
+
+
+def test_chunking_reconstructs_corpus(spark):
+    """Chunks (width 50, stride 40) losslessly cover the token stream:
+    chunk 0 plus every later chunk minus its 10-token overlap re-forms
+    the original normalized text."""
+    from dirty_js_etl_spark.queries import x85_chunk_documents
+
+    chunks = (
+        x85_chunk_documents(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    rebuilt: dict[int, list[str]] = {}
+    for r in chunks:
+        toks = r["chunk_text"].split(" ")
+        assert r["n_chunk_tokens"] == len(toks) <= 50
+        keep = toks if r["chunk_id"] == 0 else toks[10:]
+        rebuilt.setdefault(r["doc_id"], []).extend(keep)
+    from dirty_js_etl_spark.operators.text import tokens as tok_fn
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    orig = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", tok_fn(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert rebuilt == orig
+
+
+def test_quantize_bounds_and_extremes(spark):
+    """int8 quantization stays in [-127, 127] and every vector's
+    max-magnitude component lands at 126/127 (truncation boundary)."""
+    from pyspark.sql import functions as F
+
+    from dirty_js_etl_spark.queries import x84_embedding_quantize
+
+    q = x84_embedding_quantize(spark, "/root/testdata/sf0.001")
+    stats = q.agg(
+        F.min("q").alias("lo"), F.max(F.abs(F.col("q"))).alias("hi")
+    ).first()
+    assert stats["lo"] >= -127 and stats["hi"] <= 127
+    per_vec = q.groupBy("vec_id").agg(F.max(F.abs(F.col("q"))).alias("m"))
+    bad = per_vec.filter(F.col("m") < 126).count()
+    assert bad == 0
