@@ -3429,3 +3429,33 @@ def x86_zscore_anomalies(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_anomalies"))
     )
+
+
+@register(
+    "x87_string_agg",
+    """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_name) AS vip_names,
+       CAST(count(*) AS BIGINT) AS n_vips
+FROM customer
+WHERE c_acctbal > 9000
+GROUP BY 1
+""",
+)
+def x87_string_agg(spark, sf_dir):
+    # ordered string aggregation (LISTAGG): collect_list shuffles only
+    # the filtered VIP rows; the sort is per-group over an in-memory
+    # array (bounded by group size), not a global ORDER BY.  At 100 TB
+    # the guard is the filter's selectivity -- an unfiltered listagg of
+    # a whale group is an anti-pattern regardless of engine.
+    c = _cat(spark, sf_dir).read("customer")
+    return (
+        c.filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("c_name")), ","
+            ).alias("vip_names"),
+            F.count(F.lit(1)).alias("n_vips"),
+        )
+    )
