@@ -3459,3 +3459,31 @@ def x87_string_agg(spark, sf_dir):
             F.count(F.lit(1)).alias("n_vips"),
         )
     )
+
+
+@register(
+    "x88_unpivot_melt",
+    """
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+FROM part
+""",
+)
+def x88_unpivot_melt(spark, sf_dir):
+    # wide -> long melt via native UNPIVOT (Expand node): ONE scan
+    # emits both measure rows -- the oracle's UNION ALL spelling would
+    # scan the table once per measure.  Map-only, no shuffle; the
+    # inverse of the pivot operator.
+    p = _cat(spark, sf_dir).read("part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
