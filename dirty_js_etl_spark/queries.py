@@ -3487,3 +3487,180 @@ def x88_unpivot_melt(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@register(
+    "x89_session_window_native",
+    """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def x89_session_window_native(spark, sf_dir):
+    # Native session windows: F.session_window(ts, gap) makes the
+    # gap-sessionization a first-class GROUP BY key -- one shuffle on
+    # (user_id, merged window), no window-function double pass like
+    # x72.  Boundary semantics: a gap of EXACTLY 30 minutes starts a
+    # new session (windows merge only on strict overlap), so the
+    # oracle compares the raw interval (microsecond precision), not
+    # truncated seconds.  Same API sessionizes a stream unchanged.
+    ev = _cat(spark, sf_dir).read("events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "x90_ngram_corpus_dedup",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+  FROM tok, UNNEST(generate_series(1, len(toks) - 7)) AS s(i)
+  WHERE len(toks) >= 8
+)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def x90_ngram_corpus_dedup(spark, sf_dir):
+    # Exact duplicated-substring detection (the Lee et al. "exact
+    # substring dedup" signal): every 8-token shingle that appears in
+    # >= 2 distinct documents.  Map-side generator expand (sequence ->
+    # transform -> explode, no join), then ONE hash aggregate keyed on
+    # the gram; distinct-doc counting is a partial-agg-friendly
+    # count(DISTINCT).  At 100 TB the gram key space is huge but
+    # uniformly hashable -- no skew; band the gram through a 64-bit
+    # xxhash before the shuffle if gram strings dominate shuffle bytes.
+    from dirty_js_etl_spark.operators.text import tokens
+
+    n = 8
+    d = (
+        _cat(spark, sf_dir)
+        .read("documents")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") >= n)
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "x91_time_weighted_avg",
+    """
+WITH d AS (
+  SELECT user_id, value,
+         date_diff('second', ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) AS dur
+  FROM events
+), f AS (SELECT * FROM d WHERE dur IS NOT NULL)
+SELECT user_id,
+       CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6)) * dur) AS DOUBLE)
+                  / sum(dur), 6) + 0.0 AS DOUBLE) AS tw_avg,
+       CAST(sum(dur) AS BIGINT) AS active_seconds
+FROM f GROUP BY user_id HAVING sum(dur) > 0
+""",
+)
+def x91_time_weighted_avg(spark, sf_dir):
+    # Time-weighted average of a gauge: each reading is held until the
+    # next one, weight = hold duration (whole seconds, floor on both
+    # engines).  value routes through DECIMAL(18,6) so the weighted
+    # sum is exact/associative regardless of partition order; one
+    # window pass + one aggregate share the user_id shuffle.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _cat(spark, sf_dir).read("events")
+    d = ev.withColumn(
+        "dur", F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
+    ).filter(F.col("dur").isNotNull())
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dur")).alias("wsum"),
+            F.sum("dur").alias("tsec"),
+        )
+        .filter(F.col("tsec") > 0)
+        .select(
+            "user_id",
+            (
+                F.round(F.col("wsum").cast("double") / F.col("tsec"), 6) + F.lit(0.0)
+            ).alias("tw_avg"),
+            F.col("tsec").cast("bigint").alias("active_seconds"),
+        )
+    )
+
+
+@register(
+    "x92_mode_per_group",
+    """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS modal_cnt
+FROM r WHERE rn = 1
+""",
+)
+def x92_mode_per_group(spark, sf_dir):
+    # Per-group mode with a deterministic tie-break (highest count,
+    # then lexicographically smallest value): count-then-min_by over a
+    # (-cnt, value) struct -- two hash aggregates that REUSE one
+    # user_id-compatible partitioning, no window sort at all (compare
+    # the oracle's row_number spelling, which sorts every group).
+    ev = _cat(spark, sf_dir).read("events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    key = F.struct((-F.col("cnt")).alias("neg"), F.col("event_type").alias("et"))
+    return counts.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("modal_type"),
+        F.max("cnt").alias("modal_cnt"),
+    )
