@@ -3664,3 +3664,169 @@ def x92_mode_per_group(spark, sf_dir):
         F.min_by("event_type", key).alias("modal_type"),
         F.max("cnt").alias("modal_cnt"),
     )
+
+
+_X89_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 1800 SECOND AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register(
+    "x93_winsorized_mean",
+    """
+WITH b AS (
+  SELECT round(quantile_cont(l_extendedprice, 0.01), 6) AS lo,
+         round(quantile_cont(l_extendedprice, 0.99), 6) AS hi
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(round(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi)
+                                AS DECIMAL(18,6))) AS DOUBLE)
+                  / count(*), 6) + 0.0 AS DOUBLE) AS wins_mean,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem, b
+GROUP BY l_returnflag
+""",
+)
+def x93_winsorized_mean(spark, sf_dir):
+    # Winsorized (outlier-clipped) mean: clip to global [p01, p99] and
+    # average per group.  The bounds are a 2-value broadcast (scalar agg
+    # -> crossJoin), ROUNDED to 6 dp before clipping so both engines
+    # clip against bit-identical thresholds; clipped values route
+    # through DECIMAL so the mean is order-independent.  Exact
+    # percentile needs the full column once; at 100 TB swap in
+    # percentile_approx whose sketch merges map-side.
+    li = _cat(spark, sf_dir).read("lineitem")
+    bounds = li.agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.01)"), 6).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("hi"),
+    )
+    clipped = li.crossJoin(F.broadcast(bounds)).withColumn(
+        "clipped",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")).cast(
+            "decimal(18,6)"
+        ),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        (
+            F.round(F.sum("clipped").cast("double") / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("wins_mean"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("x94_streaming_session_window", _X89_SESSION_SQL)
+def x94_streaming_session_window(spark, sf_dir):
+    # Session windows on a STREAM: readStream -> watermark ->
+    # F.session_window groupBy -- identical transform API to the batch
+    # x89, and must converge to the same answer once the finite source
+    # drains.  Per-user open-session state is bounded by the watermark.
+    from dirty_js_etl_spark.streaming.events import (
+        run_stream_to_memory,
+        session_rate,
+    )
+
+    name = f"events_sessions_{next(_STREAM_COUNTER)}"
+    return run_stream_to_memory(
+        spark, sf_dir, query_name=name, transform=session_rate
+    )
+
+
+@register(
+    "x95_peak_concurrency",
+    f"""
+WITH sess AS ({_X89_SESSION_SQL}),
+deltas AS (
+  SELECT session_start AS ts, 1 AS delta FROM sess
+  UNION ALL
+  SELECT session_end AS ts, -1 AS delta FROM sess
+),
+run AS (
+  SELECT ts, sum(delta) OVER (ORDER BY ts, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(max(conc) AS INT) AS peak_concurrency
+FROM run GROUP BY 1
+""",
+)
+def x95_peak_concurrency(spark, sf_dir):
+    # Peak concurrent sessions per day, sweep-line style: sessions
+    # (native session_window) become +1/-1 boundary events, a running
+    # sum is the live concurrency, per-day max is the answer.  Ties
+    # sort (ts, delta) so a session ending exactly as another starts
+    # never overlaps; equal-delta ties can permute but every prefix
+    # within a tie group moves monotonically, so the max is invariant.
+    # The global ORDER BY is a single sort partition here; at 100 TB
+    # sweep per-day partitions and add each day's carried-over opening
+    # balance (a tiny 1-row-per-day broadcast) instead.
+    from pyspark.sql import Window
+
+    ev = _cat(spark, sf_dir).read("events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"))
+    )
+    deltas = sess.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("e").alias("ts"), F.lit(-1).alias("delta")))
+    w = Window.orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = deltas.withColumn("conc", F.sum("delta").over(w))
+    return run.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.max("conc").cast("int").alias("peak_concurrency"))
+
+
+@register(
+    "x96_equalize_mix",
+    """
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT min(cnt) AS m FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c USING (lang) CROSS JOIN m
+WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 10000 * c.cnt < m.m * 10000
+""",
+)
+def x96_equalize_mix(spark, sf_dir):
+    # Downsample every language domain to the size of the smallest one
+    # (corpus mix equalization).  Data-dependent rates: per-domain
+    # counts (one small agg, broadcast back) and the global min; the
+    # keep test is PURE INTEGER math -- bucket/10000 < m/cnt spelled
+    # as bucket*cnt < m*10000 -- so no float rounding can disagree
+    # across engines or partitions.  Like x47 the selection is keyed
+    # on md5(doc_id): stable under retries, re-runs, and resharding.
+    from dirty_js_etl_spark.operators.splits import hash_bucket
+
+    docs = _cat(spark, sf_dir).read("documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    m = counts.agg(F.min("cnt").alias("m"))
+    b = hash_bucket(F.col("doc_id"), 10000).cast("bigint")
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(b * F.col("cnt") < F.col("m") * 10000)
+        .select("doc_id", "lang")
+    )

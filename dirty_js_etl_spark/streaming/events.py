@@ -81,6 +81,27 @@ def hopping_rate(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def session_rate(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Session-window per-user event counts — the streaming twin of the
+    batch ``x89_session_window_native`` query, via the SAME
+    ``F.session_window`` API. State is one open session per active user,
+    closed (and emitted) once the watermark passes the session gap — the
+    built-in replacement for the hand-rolled applyInPandasWithState
+    sessionizer in ``streaming/sessions.py`` when per-session counts are
+    all that's needed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     sf_dir: str,
