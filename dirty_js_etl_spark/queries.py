@@ -3830,3 +3830,154 @@ def x96_equalize_mix(spark, sf_dir):
         .filter(b * F.col("cnt") < F.col("m") * 10000)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "x97_token_search",
+    f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_distinct(string_split({_NORM_SQL}, ' '))) AS t
+  FROM documents
+), hits AS (
+  SELECT doc_id FROM tok WHERE t IN ('data', 'merge', 'scan')
+  GROUP BY doc_id HAVING count(*) = 3
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN hits USING (doc_id)
+""",
+)
+def x97_token_search(spark, sf_dir):
+    # Inverted-index AND-search: documents containing ALL query terms.
+    # Explode -> filter to the 3 query tokens (pushed into the scan's
+    # generator output, so the shuffle carries only matching postings)
+    # -> one count aggregate with HAVING = |query|.  This is the
+    # conjunctive-postings-intersection plan of a search engine,
+    # expressed as groupBy; at 100 TB the posting explode is map-side
+    # and the shuffle is proportional to matches, not corpus size.
+    from dirty_js_etl_spark.operators.text import tokens
+
+    terms = ["data", "merge", "scan"]
+    docs = _cat(spark, sf_dir).read("documents")
+    postings = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("t"),
+    ).filter(F.col("t").isin(terms))
+    hits = (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == len(terms))
+        .select("doc_id")
+    )
+    return docs.join(hits, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "x98_reaggregate_weekly",
+    """
+WITH daily AS (
+  SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week_idx,
+         CAST(ts AS DATE) AS day,
+         count(*) AS cnt,
+         sum(CAST(value AS DECIMAL(18,6))) AS sval,
+         max(value) AS mval
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(week_idx AS INT) AS week_idx,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(sum(sval) AS DOUBLE) AS total_value,
+       CAST(round(CAST(sum(sval) AS DOUBLE) / sum(cnt), 6) + 0.0 AS DOUBLE)
+         AS avg_value,
+       max(mval) AS max_value
+FROM daily GROUP BY week_idx
+""",
+)
+def x98_reaggregate_weekly(spark, sf_dir):
+    # Incremental-aggregation pattern: a DAILY partial-state rollup
+    # (count, decimal sum, max -- all reaggregable) is the stored
+    # artifact; the weekly answer re-aggregates the tiny daily state
+    # instead of rescanning raw events.  At 100 TB/day this is how
+    # dashboards stay O(days) not O(rows): sums of sums and maxes of
+    # maxes are exact, and avg is derived from (sum, count) state at
+    # the final level -- never averaged across levels.  The oracle
+    # computes the same two-level plan from raw, proving the
+    # decomposition exact (decimal state => order-independent).
+    ev = _cat(spark, sf_dir).read("events")
+    daily = ev.groupBy(
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / F.lit(7)
+        )
+        .cast("int")
+        .alias("week_idx"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sval"),
+        F.max("value").alias("mval"),
+    )
+    return daily.groupBy("week_idx").agg(
+        F.sum("cnt").alias("n_events"),
+        F.sum("sval").cast("double").alias("total_value"),
+        (
+            F.round(F.sum("sval").cast("double") / F.sum("cnt"), 6) + F.lit(0.0)
+        ).alias("avg_value"),
+        F.max("mval").alias("max_value"),
+    )
+
+
+@register(
+    "x99_interarrival_stats",
+    """
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+)
+SELECT event_type,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       round(quantile_cont(gap, 0.5), 6) AS p50_gap,
+       round(quantile_cont(gap, 0.95), 6) AS p95_gap
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY event_type
+""",
+)
+def x99_interarrival_stats(spark, sf_dir):
+    # Inter-arrival time distribution per event type: one window pass
+    # partitioned by (user, type) computes gaps (whole seconds, floor
+    # on both engines), then exact percentiles per type.  The window
+    # shuffle key (user_id, event_type) is finer than the aggregate
+    # key (event_type) -- Spark inserts the second, small shuffle on
+    # the already-reduced gap rows; at 100 TB swap percentile for the
+    # KLL sketch as in x35.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ev = _cat(spark, sf_dir).read("events")
+    gaps = ev.withColumn(
+        "gap", F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("p50_gap"),
+        F.round(F.expr("percentile(gap, 0.95)"), 6).alias("p95_gap"),
+    )
+
+
+@register("x100_weighted_sample", None)
+def x100_weighted_sample(spark, sf_dir):
+    # Efraimidis-Spirakis weighted sample (weight = n_chars): longer
+    # documents are proportionally more likely to be kept.  rows-only
+    # check: the u^(1/w) ranking key is transcendental, so a SQL
+    # oracle could flip an adjacent pair on a final-ULP difference;
+    # the property tests in test_corpus.py pin the semantics instead
+    # (equal weights == plain bottom-k hash sample, determinism under
+    # repartitioning, monotone inclusion in weight).
+    from dirty_js_etl_spark.operators.corpus import weighted_sample
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return weighted_sample(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", 50
+    )

@@ -170,3 +170,67 @@ def test_quantize_bounds_and_extremes(spark):
     per_vec = q.groupBy("vec_id").agg(F.max(F.abs(F.col("q"))).alias("m"))
     bad = per_vec.filter(F.col("m") < 126).count()
     assert bad == 0
+
+
+def _ids(spark, n=60):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7 * 40 + 20).cast("double").alias("n_chars"),
+    )
+
+
+class TestWeightedSample:
+    def test_deterministic_across_partitionings(self, spark):
+        from dirty_js_etl_spark.operators.corpus import weighted_sample
+
+        base = _ids(spark)
+        a = weighted_sample(base.repartition(1), "doc_id", "n_chars", 20)
+        b = weighted_sample(base.repartition(13), "doc_id", "n_chars", 20)
+        assert sorted(r.doc_id for r in a.collect()) == sorted(
+            r.doc_id for r in b.collect()
+        )
+
+    def test_equal_weights_match_unweighted_bottom_k(self, spark):
+        # with w constant, u^(1/w) is monotone in u -- the sample must
+        # equal the top-k of the hash draw itself (pure hash sample)
+        from dirty_js_etl_spark.operators.corpus import weighted_sample
+
+        base = _ids(spark).select("doc_id").withColumn("w", F.lit(5.0))
+        got = {
+            r.doc_id
+            for r in weighted_sample(base, "doc_id", "w", 15).collect()
+        }
+        hex8 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+        u = F.conv(hex8, 16, 10).cast("bigint")
+        want = {
+            r.doc_id
+            for r in base.orderBy(F.desc(u), "doc_id").limit(15).collect()
+        }
+        assert got == want
+
+    def test_huge_weight_always_included_zero_excluded(self, spark):
+        from dirty_js_etl_spark.operators.corpus import weighted_sample
+
+        base = _ids(spark).select("doc_id").withColumn(
+            "w",
+            F.when(F.col("doc_id") == 7, F.lit(1e12))
+            .when(F.col("doc_id") == 8, F.lit(0.0))
+            .otherwise(F.lit(1.0)),
+        )
+        ids = {
+            r.doc_id
+            for r in weighted_sample(base, "doc_id", "w", 10).collect()
+        }
+        assert 7 in ids and 8 not in ids
+
+    def test_weight_monotone_inclusion_rate(self, spark):
+        # heavier stratum should be overrepresented vs its row share
+        from dirty_js_etl_spark.operators.corpus import weighted_sample
+
+        base = _ids(spark).select("doc_id").withColumn(
+            "w", F.when(F.col("doc_id") % 2 == 0, F.lit(20.0)).otherwise(F.lit(1.0))
+        )
+        n = base.count()
+        samp = weighted_sample(base, "doc_id", "w", n // 4).collect()
+        heavy = sum(1 for r in samp if r.doc_id % 2 == 0)
+        assert heavy / len(samp) > 0.7  # vs 0.5 row share
