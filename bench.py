@@ -62,6 +62,9 @@ HEADLINE = [
     "x60_curate_corpus",
     "x63_funnel",
     "x67_snapshot_diff",
+    "x89_session_window_native",
+    "x90_ngram_corpus_dedup",
+    "x97_token_search",
 ]
 
 

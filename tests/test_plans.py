@@ -117,3 +117,67 @@ def test_retention_broadcasts_first_seen(spark):
     plan = _plan(spark, "x77_retention_matrix")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim(spark):
+    # Spark's InjectRuntimeFilter only fires when the application side
+    # scan exceeds 10 GiB (never at fixture scale) -- scale the
+    # thresholds down and prove the machinery engages: a selective
+    # filter on the build side must inject a bloom filter into the
+    # probe-side scan of a shuffle join.  At 100 TB this is what turns
+    # a full lineitem shuffle into a pre-filtered one without any code
+    # change.
+    from dirty_js_etl_spark.catalog import fixture_catalog
+
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        cat = fixture_catalog(spark, SF)
+        li = cat.read("lineitem")
+        o = cat.read("orders").filter(F.col("o_orderstatus") == "F")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_ngram_dedup_single_aggregate_no_join(spark):
+    # corpus n-gram dedup: generator expand + ONE gram-keyed aggregate;
+    # any join or second wide shuffle would not survive 100 TB
+    plan = _plan(spark, "x90_ngram_corpus_dedup")
+    assert "Join" not in plan
+    assert "Generate" in plan  # map-side explode
+
+
+def test_mode_query_has_no_window_sort(spark):
+    # per-group mode is two hash aggregates, never a row_number sort
+    plan = _plan(spark, "x92_mode_per_group")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_equalize_mix_broadcasts_rates(spark):
+    # data-dependent rates join must broadcast (2 tiny aggs), the
+    # document side never shuffles
+    plan = _plan(spark, "x96_equalize_mix")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winsorize_bounds_broadcast_not_shuffle(spark):
+    # the p01/p99 bounds are a 1-row broadcast; lineitem scans twice
+    # (once for bounds, once clipped) but never sort-merge joins
+    plan = _plan(spark, "x93_winsorized_mean")
+    assert "SortMergeJoin" not in plan
