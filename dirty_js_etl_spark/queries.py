@@ -3981,3 +3981,165 @@ def x100_weighted_sample(spark, sf_dir):
     return weighted_sample(
         docs.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", 50
     )
+
+
+@register(
+    "x101_union_harmonize",
+    """
+SELECT doc_id, 'documents' AS provenance, lang,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+UNION ALL
+SELECT event_id + 1000000 AS doc_id, 'events' AS provenance,
+       CAST(NULL AS VARCHAR) AS lang,
+       CAST(length(props) AS BIGINT) AS n_chars
+FROM events
+""",
+)
+def x101_union_harmonize(spark, sf_dir):
+    # Heterogeneous-corpus merge: two sources with DIFFERENT schemas
+    # harmonized by name (missing columns become typed NULLs) plus a
+    # provenance tag -- the ingest step of every multi-source training
+    # corpus.  unionByName(allowMissingColumns) is a zero-shuffle
+    # concatenation: each side stays in its own partitions; Spark
+    # just aligns columns.  Contrast positional unionAll, which would
+    # silently mis-bind columns here.
+    cat = _cat(spark, sf_dir)
+    docs = cat.read("documents").select(
+        "doc_id",
+        F.lit("documents").alias("provenance"),
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    evs = cat.read("events").select(
+        (F.col("event_id") + 1000000).alias("doc_id"),
+        F.lit("events").alias("provenance"),
+        F.length("props").cast("bigint").alias("n_chars"),
+    )
+    return docs.unionByName(evs, allowMissingColumns=True)
+
+
+@register(
+    "x102_embedding_norms",
+    """
+WITH n AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(embedding,
+                    e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))), 6) AS nrm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(round(CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)
+                  / count(*), 6) + 0.0 AS DOUBLE) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n GROUP BY label
+""",
+)
+def x102_embedding_norms(spark, sf_dir):
+    # Per-label L2-norm statistics -- the sanity check before any
+    # cosine ANN (unnormalized vectors break inner-product indexes).
+    # The norm is a sequential array fold in DOUBLE on both engines
+    # (float32 elements are widened BEFORE multiply: float*float would
+    # lose bits DuckDB-side), rounded once, then averaged through
+    # DECIMAL so partition order can't move the result.  Map-only +
+    # one 10-key aggregate: at 100 TB this is scan-bound.
+    emb = _cat(spark, sf_dir).read("embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.round(
+                    F.sum(F.col("nrm").cast("decimal(18,9)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register(
+    "x103_topk_with_ties",
+    """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         dense_rank() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC) AS rnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def x103_topk_with_ties(spark, sf_dir):
+    # Top-3 order totals per market segment WITH ties (dense_rank, so
+    # equal totals share a rank and all qualify) -- the tie-correct
+    # variant of x22's TakeOrdered top-N.  The customer dim broadcasts;
+    # the window shuffles orders once on the 5-value segment key.  At
+    # 100 TB a 5-partition window would hotspot: pre-aggregate a
+    # per-segment threshold via approx quantile first, filter, THEN
+    # rank the survivors (same answer, bounded partition).
+    cat = _cat(spark, sf_dir)
+    from pyspark.sql import Window
+
+    o = cat.read("orders")
+    c = cat.read("customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"))
+    return (
+        j.withColumn("rnk", F.dense_rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "x104_skew_diagnostics",
+    """
+WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), t AS (SELECT sum(cnt) AS total FROM c)
+SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 10000 // total AS BIGINT) AS share_bps
+FROM c, t
+ORDER BY cnt DESC, user_id
+LIMIT 10
+""",
+)
+def x104_skew_diagnostics(spark, sf_dir):
+    # Join-key skew report: the 10 heaviest keys with their share of
+    # total rows in basis points (integer math -- cnt*10000 DIV total
+    # -- so both engines agree exactly).  This is the pre-flight check
+    # before choosing broadcast/salt/AQE strategies on a new 100 TB
+    # input: count per key (map-side combined), 1-row total broadcast,
+    # TakeOrdered(10) -- no full sort.
+    ev = _cat(spark, sf_dir).read("events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("CAST(cnt * 10000 DIV total AS BIGINT)").alias("share_bps"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(10)
+    )
