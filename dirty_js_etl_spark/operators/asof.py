@@ -37,13 +37,19 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows gain the latest right payload at or
-    before their timestamp (NULL when no right row precedes them).
+    """As-of join: left rows gain the payload of the nearest right row at
+    or before (``direction="backward"``, the default) or at or after
+    (``direction="forward"``) their timestamp; NULL when none exists.
+    Forward is the same union + window plan run in reverse time order —
+    identical cost profile, no extra machinery.
 
     ``payload_cols`` defaults to every right column except the key and
     time columns. Left columns all pass through unchanged.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (on, right_time)]
     clash = set(payload_cols) & set(left.columns)
@@ -69,9 +75,10 @@ def asof_join(
         *[F.col(c) for c in payload_cols],
     )
 
+    t_order = F.col(_TIME).asc() if direction == "backward" else F.col(_TIME).desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(_TIME).asc(), F.col(_SIDE).desc())
+        .orderBy(t_order, F.col(_SIDE).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_side.unionByName(r_side).select(

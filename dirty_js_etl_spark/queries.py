@@ -4143,3 +4143,165 @@ def x104_skew_diagnostics(spark, sf_dir):
         .orderBy(F.desc("cnt"), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "x105_dim_flatten",
+    """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def x105_dim_flatten(spark, sf_dir):
+    # Snowflake-to-star dimension flattening: resolve the FK chain
+    # customer -> nation -> region into one denormalized dim (the C13
+    # ForeignKey lookup generalized to multi-hop).  Both parents
+    # broadcast, so the fact-side table never shuffles; run once and
+    # persist, then every downstream join is a single broadcast hop.
+    cat = _cat(spark, sf_dir)
+    c = cat.read("customer")
+    n = cat.read("nation")
+    r = cat.read("region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+@register(
+    "x106_asof_forward",
+    """
+SELECT l.event_id, l.user_id,
+       nxt.nv AS next_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN LATERAL (
+  SELECT r.value AS nv
+  FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+    AND r.ts >= l.ts
+  ORDER BY r.ts, r.event_id LIMIT 1
+) nxt ON TRUE
+""",
+)
+def x106_asof_forward(spark, sf_dir):
+    # FORWARD as-of join: each click gains the value of the user's
+    # next purchase at-or-after it -- conversion attribution without a
+    # range-join explosion.  Same union + single key-shuffle + running
+    # fill as the backward x21, just ordered in reverse time; DuckDB
+    # has no forward ASOF so the oracle spells it as a LATERAL top-1.
+    from dirty_js_etl_spark.operators.asof import asof_join
+
+    ev = _cat(spark, sf_dir).read("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("next_purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        payload_cols=["next_purchase_value"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_purchase_value")
+
+
+@register(
+    "x107_char_entropy",
+    """
+WITH chars AS (
+  SELECT doc_id, substring(txt, i, 1) AS ch
+  FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS txt
+        FROM documents) t,
+       UNNEST(generate_series(1, length(txt))) AS s(i)
+), freq AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, sum(cnt) AS total FROM freq GROUP BY doc_id
+)
+SELECT f.doc_id,
+       round(-sum((CAST(cnt AS DOUBLE) / total)
+                  * ln(CAST(cnt AS DOUBLE) / total)), 6) + 0.0 AS entropy,
+       CAST(count(*) AS BIGINT) AS alphabet_size
+FROM freq f JOIN tot USING (doc_id)
+GROUP BY f.doc_id
+""",
+)
+def x107_char_entropy(spark, sf_dir):
+    # Character-unigram Shannon entropy per document -- a cheap,
+    # language-agnostic quality/gibberish signal (near-zero = repeated
+    # filler, high = noise).  Explode-to-chars is a map-side generator;
+    # two hash aggregates keyed by doc_id share one shuffle.  The ~30
+    # p*ln(p) terms per doc are summed in double and rounded to 6 dp
+    # (the repo's transcendental-output rule).
+    from dirty_js_etl_spark.operators.text import normalize_text
+
+    docs = _cat(spark, sf_dir).read("documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), "")).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.groupBy("doc_id").agg(F.sum("cnt").alias("total"))
+    p = F.col("cnt").cast("double") / F.col("total")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("entropy"),
+            F.count(F.lit(1)).alias("alphabet_size"),
+        )
+    )
+
+
+@register(
+    "x108_version_retention",
+    """
+WITH v AS (
+  SELECT user_id, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, value, ts AS version_ts, CAST(rn AS INT) AS recency_rank
+FROM v WHERE rn <= 2
+""",
+)
+def x108_version_retention(spark, sf_dir):
+    # Snapshot retention: keep only the latest N versions per key (the
+    # compaction step that bounds SCD/CDC history growth).  One
+    # key-partitioned window; at 100 TB this runs per storage
+    # partition during compaction, and the rank-desc form never needs
+    # a global sort.
+    from pyspark.sql import Window
+
+    ev = _cat(spark, sf_dir).read("events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "user_id",
+            "value",
+            F.col("ts").alias("version_ts"),
+            F.col("rn").cast("int").alias("recency_rank"),
+        )
+    )

@@ -87,3 +87,41 @@ def test_no_nested_loop_join(spark, quotes, trades):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_forward_asof_picks_next_at_or_after(spark):
+    from pyspark.sql import Row
+
+    from dirty_js_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, t=10), Row(k=1, t=25), Row(k=1, t=40), Row(k=2, t=5)],
+        "k long, t long",
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rt=10, v="a"), Row(k=1, rt=30, v="b")],
+        "k long, rt long, v string",
+    )
+    out = {
+        (r.k, r.t): r.v
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            payload_cols=["v"], direction="forward",
+        ).collect()
+    }
+    # t=10 matches the same-instant snapshot, t=25 the next one,
+    # t=40 has nothing after it, k=2 has no right rows at all
+    assert out == {(1, 10): "a", (1, 25): "b", (1, 40): None, (2, 5): None}
+
+
+def test_asof_direction_validated(spark):
+    import pytest as _pt
+
+    from dirty_js_etl_spark.operators.asof import asof_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("k"), F.col("id").alias("t")
+    )
+    with _pt.raises(ValueError):
+        asof_join(df, df, on="k", left_time="t", right_time="t",
+                  payload_cols=[], direction="sideways")
