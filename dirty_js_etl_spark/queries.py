@@ -4305,3 +4305,142 @@ def x108_version_retention(spark, sf_dir):
             F.col("rn").cast("int").alias("recency_rank"),
         )
     )
+
+
+@register(
+    "x109_stream_stream_join",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, p.value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+""",
+)
+def x109_stream_stream_join(spark, sf_dir):
+    # STREAM-STREAM interval join (clicks x purchases within 2 h),
+    # both sides streamed with watermarks; must equal the batch
+    # BETWEEN join once the finite source drains.  The time-bound
+    # condition is what lets Spark evict per-side buffered state.
+    from dirty_js_etl_spark.streaming.events import stream_stream_attribution
+
+    name = f"click_purchase_{next(_STREAM_COUNTER)}"
+    return stream_stream_attribution(spark, sf_dir, query_name=name)
+
+
+@register(
+    "x110_groupwise_znorm",
+    """
+SELECT user_id, event_id,
+       CAST(round((value - avg(value) OVER w)
+                  / stddev_pop(value) OVER w, 6) + 0.0 AS DOUBLE) AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+""",
+)
+def x110_groupwise_znorm(spark, sf_dir):
+    # Group-wise z-normalization through applyInPandas: each user's
+    # events arrive as ONE Arrow batch and a vectorized pandas kernel
+    # normalizes them -- the template for custom per-group Python
+    # logic Spark expressions can't say (model scoring, per-entity
+    # fits).  Cost: one shuffle on the group key + Arrow
+    # (de)serialization; groups must fit in executor memory, which
+    # per-user event history does at any corpus size.  The built-in
+    # window spelling (= the oracle) is preferred when expressible --
+    # this query exists to keep the applyInPandas path tested.
+    import pandas as pd
+
+    ev = _cat(spark, sf_dir).read("events").select("user_id", "event_id", "value")
+
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["value"].std(ddof=0)
+        m = pdf["value"].mean()
+        z = (pdf["value"] - m) / s if s > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "z": (z.round(6) + 0.0),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        znorm, schema="user_id long, event_id long, z double"
+    )
+
+
+@register(
+    "x111_interval_coalesce",
+    """
+WITH iv AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) - INTERVAL 10 MINUTE AS s,
+         CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+                OR max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM flagged
+), merged AS (
+  SELECT user_id, island_id, min(s) AS ms, max(e) AS me
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(date_diff('second', ms, me)) AS BIGINT) AS covered_seconds
+FROM merged GROUP BY user_id
+""",
+)
+def x111_interval_coalesce(spark, sf_dir):
+    # Interval coalescing (union of overlapping intervals): each event
+    # projects a +/-10-minute influence interval; overlapping ones
+    # merge into islands (running-max-end sweep), and the answer is
+    # per-user island count + total covered seconds -- EXACT integer
+    # seconds, no float anywhere.  Generalizes gap-sessionization to
+    # arbitrary, overlapping intervals with one user-keyed shuffle
+    # shared by both window passes and both aggregates.
+    from pyspark.sql import Window
+
+    ev = _cat(spark, sf_dir).read("events")
+    iv = ev.select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_max_e = F.max("e").over(w_prev)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    ).withColumn("island_id", F.sum("new_island").over(w_run))
+    merged = flagged.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("me").cast("long") - F.col("ms").cast("long")).alias(
+            "covered_seconds"
+        ),
+    )

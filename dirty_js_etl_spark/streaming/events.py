@@ -125,3 +125,56 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def stream_stream_attribution(
+    spark: SparkSession, sf_dir: str, query_name: str = "click_purchase_join"
+) -> DataFrame:
+    """STREAM-STREAM interval join: clicks and purchases are two
+    independent streams; each click joins every purchase by the same
+    user within two hours after it.  Both sides carry a watermark and
+    the join condition bounds the time skew, so each side's buffered
+    state is evicted once the other side's watermark passes the
+    interval — the state-bounding contract that makes stream-stream
+    joins viable at 100 TB/day (without the time bound the buffers grow
+    forever).  Inner join + append mode is the supported combination.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id", "value")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)
