@@ -4444,3 +4444,130 @@ def x111_interval_coalesce(spark, sf_dir):
             "covered_seconds"
         ),
     )
+
+
+@register(
+    "x112_udtf_chunk",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+       array_to_string(toks[(i - 1) * 30 + 1 : (i - 1) * 30 + 30], ' ')
+         AS chunk_text,
+       CAST(least(30, len(toks) - (i - 1) * 30) AS INT) AS n_tokens
+FROM tok, UNNEST(generate_series(1, (len(toks) + 29) // 30)) AS s(i)
+""",
+)
+def x112_udtf_chunk(spark, sf_dir):
+    # Python UDTF (Spark 4 table function): one doc row in, N chunk
+    # rows out, consumed via LATERAL join -- the API for custom
+    # row-GENERATING logic (parsers, tokenizers, samplers) that scalar
+    # UDFs can't express.  Row-at-a-time Python is the slow path: the
+    # preferred scale implementation of this exact transform is x85's
+    # explode/codegen; this exists to keep the UDTF surface tested.
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk_text string, n_tokens int")
+    class Chunker:
+        def eval(self, text: str):
+            toks = " ".join((text or "").lower().strip().split()).split(" ")
+            size = 30
+            for ci in range((len(toks) + size - 1) // size):
+                piece = toks[ci * size : (ci + 1) * size]
+                yield ci, " ".join(piece), len(piece)
+
+    spark.udtf.register("chunk_doc", Chunker)
+    docs = _cat(spark, sf_dir).read("documents")
+    docs.createOrReplaceTempView("__x112_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_tokens
+        FROM __x112_docs d, LATERAL chunk_doc(d.text) c
+        """
+    )
+
+
+@register(
+    "x113_variant_json",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(round(CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE)
+                  / count(*), 6) + 0.0 AS DOUBLE) AS avg_k
+FROM events GROUP BY event_type
+""",
+)
+def x113_variant_json(spark, sf_dir):
+    # Semi-structured path via the VARIANT type (Spark 4): parse_json
+    # once into a binary variant, then typed variant_get extraction --
+    # unlike get_json_object (x11) the parse cost is paid once per row
+    # regardless of how many fields are later plucked, and the variant
+    # column can be stored/shuffled in its compact binary form.
+    # Integer payloads keep the aggregate exact.
+    ev = _cat(spark, sf_dir).read("events")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        (
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("avg_k"),
+    )
+
+
+@register(
+    "x114_date_spine_zero_fill",
+    """
+WITH spine AS (
+  SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '1995-06-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+), o AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-06-30'
+  GROUP BY 1
+)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+FROM spine LEFT JOIN o ON spine.day = o.day
+""",
+)
+def x114_date_spine_zero_fill(spark, sf_dir):
+    # Zero-filled daily order counts over a CUSTOM PYTHON DATA SOURCE
+    # date spine (sources/pyds.py): absent days surface as explicit
+    # zeros -- the calendar-join primitive dashboards and
+    # interpolation need.  The spine generates partition-parallel on
+    # executors (never materialized on the driver) and both join
+    # inputs are tiny after the pre-agg, so the join broadcasts.
+    from dirty_js_etl_spark.sources.pyds import register_date_spine
+
+    register_date_spine(spark)
+    spine = (
+        spark.read.format("date_spine")
+        .option("start", "1995-01-01")
+        .option("end", "1995-06-30")
+        .option("partitions", "4")
+        .load()
+    )
+    o = (
+        _cat(spark, sf_dir)
+        .read("orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1995-06-30").cast("date"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(F.broadcast(o), "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )

@@ -95,3 +95,55 @@ def test_partitioned_write_prunes(spark, small, tmp_path):
     # partition filter reaches the scan: only the tag=a directory is read
     assert back.count() == 2
     assert "PartitionFilters" in plan and "tag" in plan
+
+
+class TestDateSpineDataSource:
+    def test_generates_inclusive_range_in_parallel(self, spark):
+        from dirty_js_etl_spark.sources.pyds import register_date_spine
+
+        register_date_spine(spark)
+        df = (
+            spark.read.format("date_spine")
+            .option("start", "2024-02-27")
+            .option("end", "2024-03-02")
+            .option("partitions", "3")
+            .load()
+        )
+        days = sorted(str(r.day) for r in df.collect())
+        assert days == [
+            "2024-02-27", "2024-02-28", "2024-02-29",  # leap day
+            "2024-03-01", "2024-03-02",
+        ]
+        assert df.rdd.getNumPartitions() == 3
+
+    def test_partition_count_capped_by_days(self, spark):
+        from dirty_js_etl_spark.sources.pyds import register_date_spine
+
+        register_date_spine(spark)
+        df = (
+            spark.read.format("date_spine")
+            .option("start", "2024-01-01")
+            .option("end", "2024-01-02")
+            .option("partitions", "16")
+            .load()
+        )
+        assert df.count() == 2
+        assert df.rdd.getNumPartitions() <= 2
+
+    def test_rejects_inverted_range(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        from dirty_js_etl_spark.sources.pyds import register_date_spine
+
+        register_date_spine(spark)
+        df = (
+            spark.read.format("date_spine")
+            .option("start", "2024-01-02")
+            .option("end", "2024-01-01")
+            .load()
+        )
+        import pytest as _pt
+
+        with _pt.raises((Py4JJavaError, PySparkException, Exception)):
+            df.collect()
