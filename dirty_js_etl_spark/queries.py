@@ -4571,3 +4571,195 @@ def x114_date_spine_zero_fill(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
         )
     )
+
+
+@register(
+    "x115_tpch_q13",
+    """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+)
+def x115_tpch_q13(spark, sf_dir):
+    # TPC-H Q13 analog (customer order-count distribution): the LEFT
+    # join keeps order-less customers so the zero bucket is real.
+    # count(o_orderkey) (not count(*)) makes unmatched rows count 0.
+    # Two aggregations: the first shuffles on c_custkey, the second is
+    # a tiny distribution reduce -- the canonical "histogram of a
+    # group-by" double aggregate.
+    cat = _cat(spark, sf_dir)
+    c = cat.read("customer")
+    o = cat.read("orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "x116_tpch_q17",
+    f"""
+WITH pavg AS (
+  SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thresh
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / 7.0, 6) + 0.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
+JOIN pavg ON pavg.l_partkey = l.l_partkey
+WHERE l.l_quantity < pavg.qty_thresh
+""",
+)
+def x116_tpch_q17(spark, sf_dir):
+    # TPC-H Q17 analog (small-quantity-order revenue): the correlated
+    # "avg quantity for this part" subquery decorrelates into a
+    # per-part aggregate joined back to lineitem.  Quantities are
+    # integral doubles so sum/count (and the 0.2x threshold) are
+    # bit-identical across engines; money goes through DECIMAL.  Both
+    # the brand-filtered part dim and the per-part averages broadcast;
+    # lineitem is scanned twice (avg pass + probe pass) but never
+    # shuffled on a fact-sized key.
+    cat = _cat(spark, sf_dir)
+    li = cat.read("lineitem")
+    p = cat.read("part").filter(F.col("p_brand") == "Brand#12")
+    pavg = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias(
+            "qty_thresh"
+        )
+    )
+    probe = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(pavg.withColumnRenamed("l_partkey", "pk")),
+              F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+    )
+    return probe.agg(
+        (
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("avg_yearly")
+    )
+
+
+@register(
+    "x117_tpch_q15",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({_DEC}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+)
+def x117_tpch_q15(spark, sf_dir):
+    # TPC-H Q15 analog (top supplier by quarterly revenue): the view
+    # becomes a cached-reusable aggregate, the scalar max is a 1-row
+    # broadcast, and the equality keeps ALL tied winners (exact
+    # decimal revenue makes the tie test sound; a double sum could
+    # split ties across partitions_orders).  Supplier dim broadcasts.
+    cat = _cat(spark, sf_dir)
+    li = cat.read("lineitem")
+    s = cat.read("supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "x118_tpch_q7",
+    f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(sum({_DEC.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY sn.n_name, cn.n_name, l_year
+""",
+)
+def x118_tpch_q7(spark, sf_dir):
+    # TPC-H Q7 analog (volume shipping between two nations): a 6-table
+    # join where every dimension (supplier, customer, both nation
+    # copies) broadcasts, so the only fact-scale shuffle is
+    # lineitem |x| orders on orderkey; the disjunctive nation-pair
+    # predicate prunes AFTER the cheap broadcast lookups.  Decimal
+    # revenue, grouped by direction x ship year.
+    cat = _cat(spark, sf_dir)
+    li = cat.read("lineitem")
+    o = cat.read("orders")
+    c = cat.read("customer")
+    s = cat.read("supplier")
+    n = cat.read("nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(F.sum(_disc_price()).cast("double").alias("revenue"))
