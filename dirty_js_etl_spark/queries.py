@@ -4763,3 +4763,126 @@ def x118_tpch_q7(spark, sf_dir):
         "cust_nation",
         F.year("l_shipdate").cast("int").alias("l_year"),
     ).agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+_Z_DUCK = "(((l_partkey % 256) // 1) % 2) * 1 + (((l_suppkey % 256) // 1) % 2) * 2 + (((l_partkey % 256) // 2) % 2) * 4 + (((l_suppkey % 256) // 2) % 2) * 8 + (((l_partkey % 256) // 4) % 2) * 16 + (((l_suppkey % 256) // 4) % 2) * 32 + (((l_partkey % 256) // 8) % 2) * 64 + (((l_suppkey % 256) // 8) % 2) * 128 + (((l_partkey % 256) // 16) % 2) * 256 + (((l_suppkey % 256) // 16) % 2) * 512 + (((l_partkey % 256) // 32) % 2) * 1024 + (((l_suppkey % 256) // 32) % 2) * 2048 + (((l_partkey % 256) // 64) % 2) * 4096 + (((l_suppkey % 256) // 64) % 2) * 8192 + (((l_partkey % 256) // 128) % 2) * 16384 + (((l_suppkey % 256) // 128) % 2) * 32768"
+_Z_SPARK = "(((l_partkey % 256) DIV 1) % 2) * 1 + (((l_suppkey % 256) DIV 1) % 2) * 2 + (((l_partkey % 256) DIV 2) % 2) * 4 + (((l_suppkey % 256) DIV 2) % 2) * 8 + (((l_partkey % 256) DIV 4) % 2) * 16 + (((l_suppkey % 256) DIV 4) % 2) * 32 + (((l_partkey % 256) DIV 8) % 2) * 64 + (((l_suppkey % 256) DIV 8) % 2) * 128 + (((l_partkey % 256) DIV 16) % 2) * 256 + (((l_suppkey % 256) DIV 16) % 2) * 512 + (((l_partkey % 256) DIV 32) % 2) * 1024 + (((l_suppkey % 256) DIV 32) % 2) * 2048 + (((l_partkey % 256) DIV 64) % 2) * 4096 + (((l_suppkey % 256) DIV 64) % 2) * 8192 + (((l_partkey % 256) DIV 128) % 2) * 16384 + (((l_suppkey % 256) DIV 128) % 2) * 32768"
+
+
+@register(
+    "x119_zorder_layout",
+    f"""
+WITH z AS (
+  SELECT CAST(({_Z_DUCK}) AS BIGINT) AS zkey FROM lineitem
+)
+SELECT CAST(zkey // 256 AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(zkey) AS BIGINT) AS z_min,
+       CAST(max(zkey) AS BIGINT) AS z_max
+FROM z GROUP BY 1
+""",
+)
+def x119_zorder_layout(spark, sf_dir):
+    # Z-order (Morton) clustering key: interleave the low 8 bits of
+    # partkey and suppkey so rows close in BOTH dimensions land close
+    # in ONE sort order -- the layout that lets min/max file stats
+    # prune 2-D predicates (the OPTIMIZE ZORDER primitive, as pure
+    # integer arithmetic, identical in any engine).  The real write
+    # path is repartitionByRange(z_bucket).sortWithinPartitions(zkey);
+    # this query validates the key math via the per-bucket histogram
+    # that would become the file layout.
+    li = _cat(spark, sf_dir).read("lineitem")
+    z = li.select(F.expr(_Z_SPARK).cast("bigint").alias("zkey"))
+    return z.groupBy(
+        F.expr("zkey DIV 256").cast("bigint").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zkey").cast("bigint").alias("z_min"),
+        F.max("zkey").cast("bigint").alias("z_max"),
+    )
+
+
+@register(
+    "x120_shard_assignment",
+    f"""
+WITH d AS (
+  SELECT doc_id, length(string_split({_NORM_SQL}, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS before_t,
+         (SELECT sum(n_tokens) FROM d) AS total_t
+  FROM d
+)
+SELECT CAST(least(before_t * 8 // total_t, 7) AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY 1
+""",
+)
+def x120_shard_assignment(spark, sf_dir):
+    # Token-balanced shard assignment: docs stream in deterministic
+    # doc_id order and each is routed to shard floor(tokens_before /
+    # (total/8)) -- every shard gets ~total/8 tokens regardless of doc
+    # length skew (integer math throughout: before*8 DIV total).  This
+    # is how a pretraining corpus is cut into equal-work shards.  The
+    # running sum is a global-order window here; at 100 TB assign per
+    # range-partition with broadcast per-range token offsets (same
+    # arithmetic, no global sort).
+    from pyspark.sql import Window
+
+    from dirty_js_etl_spark.operators.text import token_count
+
+    docs = _cat(spark, sf_dir).read("documents")
+    d = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = d.agg(F.sum("n_tokens").alias("total_t"))
+    c = (
+        d.withColumn("before_t", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        c.select(
+            F.least(
+                F.expr("before_t * 8 DIV total_t"), F.lit(7)
+            ).cast("int").alias("shard"),
+            "n_tokens",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "x121_jsonl_export",
+    """
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id, lang := lang,
+                           n_chars := n_chars)) AS jsonl
+FROM documents
+""",
+)
+def x121_jsonl_export(spark, sf_dir):
+    # JSONL corpus export: each row rendered as one compact JSON
+    # object (the interchange format of every LLM data pipeline).
+    # to_json(struct(...)) is JVM codegen -- byte-identical rendering
+    # to DuckDB's struct_pack for integer/string fields -- and the
+    # write path is just .write.text() on this column: map-only,
+    # no shuffle, trivially parallel.
+    docs = _cat(spark, sf_dir).read("documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id"), F.col("lang"), F.col("n_chars")
+            )
+        ).alias("jsonl"),
+    )
