@@ -4886,3 +4886,138 @@ def x121_jsonl_export(spark, sf_dir):
             )
         ).alias("jsonl"),
     )
+
+
+@register(
+    "x122_try_cast_audit",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(TRY_CAST(substring(source, 4) AS INT)) AS BIGINT)
+         AS n_numeric_suffix,
+       CAST(count(*) - count(TRY_CAST(lang AS INT)) AS BIGINT)
+         AS n_lang_nonnum
+FROM documents GROUP BY source
+""",
+)
+def x122_try_cast_audit(spark, sf_dir):
+    # Safe-casting data-quality audit: try_cast turns malformed values
+    # into NULLs instead of failing the job (this session runs ANSI
+    # mode, where a plain CAST on bad input ABORTS the query -- at
+    # 100 TB one bad row must not kill a 6-hour job).  count(expr)
+    # counts non-NULLs, so each aggregate is a per-column parse
+    # success/failure tally in one pass.
+    docs = _cat(spark, sf_dir).read("documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.expr("substring(source, 4)").try_cast("int")).alias(
+            "n_numeric_suffix"
+        ),
+        (
+            F.count(F.lit(1)) - F.count(F.col("lang").try_cast("int"))
+        ).alias("n_lang_nonnum"),
+    )
+
+
+@register(
+    "x123_extract_numbers",
+    """
+WITH m AS (
+  SELECT doc_id, regexp_extract_all(text, '[0-9]{1,15}') AS nums
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(nums) AS INT) AS n_numbers,
+       CAST(coalesce(list_max(list_transform(nums,
+              x -> CAST(x AS BIGINT))), -1) AS BIGINT) AS max_number
+FROM m
+""",
+)
+def x123_extract_numbers(spark, sf_dir):
+    # Structured extraction: pull every digit run (capped at 15 digits
+    # so BIGINT can't overflow under ANSI mode) and reduce per doc --
+    # the regexp_extract_all -> transform -> array_max chain is all
+    # JVM codegen, no UDF, map-only.  RE2-compatible pattern so
+    # external engines tokenize identically (same contract as the PII
+    # redactor).
+    docs = _cat(spark, sf_dir).read("documents")
+    nums = F.regexp_extract_all(F.col("text"), F.lit("[0-9]{1,15}"), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(nums).cast("int").alias("n_numbers"),
+        F.coalesce(
+            F.array_max(F.transform(nums, lambda x: x.cast("bigint"))),
+            F.lit(-1),
+        ).cast("bigint").alias("max_number"),
+    )
+
+
+@register(
+    "x124_typed_set_agg",
+    """
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',')
+         AS event_types,
+       CAST(count(DISTINCT event_type) AS INT) AS n_types
+FROM events GROUP BY user_id
+""",
+)
+def x124_typed_set_agg(spark, sf_dir):
+    # Set-valued aggregation rendered deterministically: collect_set
+    # gathers per-key distinct values in ARBITRARY order (partition
+    # and scheduling dependent), so the contract for stable output is
+    # sort-then-join -- the same discipline any array-producing
+    # aggregate needs before hashing, diffing, or exporting.
+    ev = _cat(spark, sf_dir).read("events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("event_types"),
+        F.countDistinct("event_type").cast("int").alias("n_types"),
+    )
+
+
+@register(
+    "x125_surrogate_keys",
+    """
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_custkey < 100
+), mx AS (
+  SELECT max(c_custkey) AS max_key FROM dim
+), new_members AS (
+  SELECT DISTINCT o_custkey
+  FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)
+)
+SELECT o_custkey AS natural_key,
+       max_key + row_number() OVER (ORDER BY o_custkey) AS surrogate_key
+FROM new_members, mx
+""",
+)
+def x125_surrogate_keys(spark, sf_dir):
+    # Warehouse surrogate-key assignment: natural keys arriving in the
+    # fact load but missing from the (stale, custkey<100) dimension get
+    # dense new ids continuing from the dimension's current max.  Never monotonically_increasing_id
+    # (partition-dependent, non-dense): deterministic order + window
+    # row_number + broadcast max.  New members per load are small, so
+    # the single-partition window is bounded by the DELTA size, not
+    # the dimension.
+    from pyspark.sql import Window
+
+    cat = _cat(spark, sf_dir)
+    c = cat.read("customer").filter(F.col("c_custkey") < 100)
+    o = cat.read("orders")
+    new_members = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .select("o_custkey")
+        .distinct()
+    )
+    mx = c.agg(F.max("c_custkey").alias("max_key"))
+    w = Window.orderBy("o_custkey")
+    return (
+        new_members.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_custkey").alias("natural_key"),
+            (F.col("max_key") + F.row_number().over(w)).alias("surrogate_key"),
+        )
+    )
