@@ -5021,3 +5021,117 @@ def x125_surrogate_keys(spark, sf_dir):
             (F.col("max_key") + F.row_number().over(w)).alias("surrogate_key"),
         )
     )
+
+
+@register(
+    "x126_cogroup_attribution",
+    """
+WITH e AS (
+  SELECT user_id, event_type, ts FROM events
+  WHERE event_type IN ('click', 'purchase')
+), base AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+  FROM e GROUP BY user_id
+), attr AS (
+  SELECT p.user_id, count(*) AS n_attributed
+  FROM e p
+  WHERE p.event_type = 'purchase' AND EXISTS (
+    SELECT 1 FROM e c
+    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 2 HOUR)
+  GROUP BY p.user_id
+)
+SELECT b.user_id,
+       CAST(b.n_clicks AS BIGINT) AS n_clicks,
+       CAST(b.n_purchases AS BIGINT) AS n_purchases,
+       CAST(coalesce(a.n_attributed, 0) AS BIGINT) AS n_attributed
+FROM base b LEFT JOIN attr a USING (user_id)
+""",
+)
+def x126_cogroup_attribution(spark, sf_dir):
+    # COGROUP applyInPandas: clicks and purchases arrive as TWO pandas
+    # frames per user key and a numpy kernel (sorted searchsorted)
+    # marks purchases with a click in the prior 2 hours -- the API for
+    # custom two-sided per-key logic (bipartite matching, custom
+    # attribution) that single-input applyInPandas can't see.  One
+    # co-partitioned shuffle of both sides; group size is per-user
+    # history, bounded at any corpus scale.
+    import numpy as np
+    import pandas as pd
+
+    ev = _cat(spark, sf_dir).read("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def attribute(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        cts = np.sort(left["ts"].values)
+        pts = right["ts"].values
+        if len(cts) and len(pts):
+            idx = np.searchsorted(cts, pts, side="right")
+            prev = np.where(idx > 0, cts[np.maximum(idx - 1, 0)], np.datetime64(0, "us"))
+            ok = (idx > 0) & (prev >= pts - np.timedelta64(2, "h"))
+            n_attr = int(ok.sum())
+        else:
+            n_attr = 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "n_attributed": [n_attr],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            attribute,
+            schema="user_id long, n_clicks long, n_purchases long, "
+            "n_attributed long",
+        )
+    )
+
+
+@register(
+    "x127_mapinarrow_cents",
+    """
+SELECT event_type,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def x127_mapinarrow_cents(spark, sf_dir):
+    # mapInArrow: the zero-copy batch hook -- RecordBatches flow
+    # straight from Tungsten into pyarrow.compute kernels with no
+    # pandas materialization (the fastest Python escape hatch; use it
+    # when a C-backed Arrow kernel exists for the whole batch).  Here
+    # it fixes float money into integer cents (floor(x*100+0.5) on
+    # identical doubles is engine-exact), then the aggregate is pure
+    # integer.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ev = _cat(spark, sf_dir).read("events").select("event_type", "value")
+
+    def to_cents(batches):
+        for batch in batches:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(batch.column(1), 100.0), 0.5)),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), cents], ["event_type", "cents"]
+            )
+
+    mapped = ev.mapInArrow(to_cents, schema="event_type string, cents long")
+    return mapped.groupBy("event_type").agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

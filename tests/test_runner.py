@@ -131,3 +131,24 @@ def test_message_and_hooks_run(cat, caplog):
     with caplog.at_level(logging.INFO, logger="dirty_js_etl_spark"):
         Pipeline().use_mapping(spec).run(cat)
     assert any("migrating things" in m for m in caplog.messages)
+
+
+def test_observation_metrics_piggyback_on_action(spark, catalog):
+    # Pipeline observability: Observation metrics compute DURING the
+    # action (no second scan) -- the replacement for the reference's
+    # PRINT narration (T14) that actually measures the data: row count
+    # and null tally arrive with the job, free, at any scale.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("etl_metrics")
+    c = catalog.read("customer")
+    observed = c.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_processed"),
+        F.sum(F.col("c_acctbal").isNull().cast("int")).alias("null_acctbal"),
+    )
+    n = observed.count()
+    got = obs.get
+    assert got["rows_processed"] == n
+    assert got["null_acctbal"] == 0
