@@ -5135,3 +5135,170 @@ def x127_mapinarrow_cents(spark, sf_dir):
         F.sum("cents").alias("total_cents"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "x128_pareto_abc",
+    f"""
+WITH rev AS (
+  SELECT l_partkey, sum({_DEC}) AS r
+  FROM lineitem GROUP BY l_partkey
+), c AS (
+  SELECT l_partkey, r,
+         sum(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         (SELECT sum(r) FROM rev) AS total
+  FROM rev
+)
+SELECT CASE WHEN cum * 100 <= total * 70 THEN 'A'
+            WHEN cum * 100 <= total * 90 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(r) AS DOUBLE) AS class_revenue
+FROM c GROUP BY 1
+""",
+)
+def x128_pareto_abc(spark, sf_dir):
+    # Pareto/ABC classification: rank parts by revenue, classify by
+    # cumulative share (A = first 70%, B = to 90%, C = tail).  All
+    # comparisons are DECIMAL-exact (cum*100 <= total*70 -- no float
+    # share), so the class boundary cannot drift between engines or
+    # partitionings.  The running sum orders |parts| aggregate rows,
+    # not lineitems; at 100 TB that is still a small single sort.
+    from pyspark.sql import Window
+
+    li = _cat(spark, sf_dir).read("lineitem")
+    rev = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("r"))
+    total = rev.agg(F.sum("r").alias("total"))
+    w = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = rev.withColumn("cum", F.sum("r").over(w)).crossJoin(F.broadcast(total))
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 70, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 90, "B")
+        .otherwise("C")
+    )
+    return (
+        c.select(cls.alias("abc_class"), "r")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+    )
+
+
+@register(
+    "x129_rfm_scores",
+    """
+WITH m AS (
+  SELECT o_custkey AS c_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey,
+       CAST(ntile(4) OVER (ORDER BY last_order, c_custkey) AS INT) AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency, c_custkey) AS INT) AS f_score,
+       CAST(ntile(4) OVER (ORDER BY monetary, c_custkey) AS INT) AS m_score
+FROM m
+""",
+)
+def x129_rfm_scores(spark, sf_dir):
+    # RFM customer scoring: quartile buckets over recency, frequency,
+    # monetary -- three ntile windows over the SAME |customers|-scale
+    # aggregate (one shuffle to aggregate orders; the windows sort the
+    # reduced relation).  Every ordering carries the custkey
+    # tie-break, without which ntile is nondeterministic at quartile
+    # boundaries; monetary is decimal so ties are exact.
+    from pyspark.sql import Window
+
+    o = _cat(spark, sf_dir).read("orders")
+    m = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    return m.select(
+        "c_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "c_custkey")).cast("int").alias("r_score"),
+        F.ntile(4).over(Window.orderBy("frequency", "c_custkey")).cast("int").alias("f_score"),
+        F.ntile(4).over(Window.orderBy("monetary", "c_custkey")).cast("int").alias("m_score"),
+    )
+
+
+@register(
+    "x130_transition_matrix",
+    """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""",
+)
+def x130_transition_matrix(spark, sf_dir):
+    # Markov transition counts between consecutive event types per
+    # user: one lead window on the user partitioning, then a tiny
+    # |types|^2 aggregate -- the behavioral fingerprint behind
+    # session-flow dashboards and anomaly detection.  The window
+    # shuffle is the only data-scale exchange.
+    from pyspark.sql import Window
+
+    ev = _cat(spark, sf_dir).read("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@register(
+    "x131_benford_audit",
+    """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), t AS (SELECT count(*) AS total FROM d)
+SELECT digit, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) * 10000 // total AS BIGINT) AS share_bps
+FROM d, t GROUP BY digit, total
+""",
+)
+def x131_benford_audit(spark, sf_dir):
+    # Benford leading-digit audit: the distribution of first digits of
+    # order totals -- a classic fabricated-data screen (organic
+    # magnitudes follow log-uniform digits; synthetic uniforms don't).
+    # Digit extraction is integer/string-exact; shares are integer
+    # basis points (cnt*10000 DIV total).  Scan + 9-key aggregate.
+    o = _cat(spark, sf_dir).read("orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        d.crossJoin(F.broadcast(t))
+        .groupBy("digit", "total")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("CAST(n_orders * 10000 DIV total AS BIGINT)").alias(
+                "share_bps"
+            ),
+        )
+    )
