@@ -388,3 +388,100 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-native k-means (Lloyd's iterations)
+# ---------------------------------------------------------------------------
+
+
+def assign_clusters(
+    df: DataFrame, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Adds ``cluster`` (int) = index of the nearest centroid (squared
+    L2; first index wins ties). The centroid list is embedded as plan
+    literals — an implicit broadcast, no join."""
+    v = as_double(F.col(vec_col))
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return df.withColumn(
+        "cluster",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[list[list[float]], DataFrame]:
+    """Distributed Lloyd's k-means: centroids init from the first ``k``
+    vectors in ``id_col`` order (deterministic, no RNG), then ``iters``
+    rounds of assign (map-only, centroid literals) + recompute
+    (posexplode → per-(cluster, dim) avg — ONE shuffle of narrow rows).
+
+    Scale contract: only the k×dim centroid table ever reaches the
+    driver (k·dim doubles per iteration); the corpus itself is never
+    collected. Empty clusters keep their previous centroid. This is the
+    engine's IVF trainer scaled past what a driver-side numpy sample
+    can hold (cf. train_ivf_centroids).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        assigned = assign_clusters(df, vec_col, centroids)
+        rows = (
+            assigned.select(
+                "cluster",
+                F.posexplode(as_double(F.col(vec_col))).alias("i", "x"),
+            )
+            .groupBy("cluster", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = {c: list(old) for c, old in enumerate(centroids)}
+        for r in rows:
+            new[r["cluster"]][r["i"]] = r["m"]
+        centroids = [new[c] for c in range(k)]
+    return centroids, assign_clusters(df, vec_col, centroids)
+
+
+def kmeans_inertia(assigned: DataFrame, vec_col: str, centroids) -> float:
+    """Total within-cluster squared distance (the Lloyd objective)."""
+    v = as_double(F.col(vec_col))
+    dist_to = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    return (
+        assigned.select(
+            F.element_at(dist_to, F.col("cluster") + 1).alias("d")
+        )
+        .agg(F.sum("d"))
+        .first()[0]
+    )

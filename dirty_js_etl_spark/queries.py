@@ -5302,3 +5302,94 @@ def x131_benford_audit(spark, sf_dir):
             ),
         )
     )
+
+
+@register("x132_kmeans_clusters", None)
+def x132_kmeans_clusters(spark, sf_dir):
+    # Distributed Lloyd's k-means over the embedding corpus (k=8,
+    # 3 iterations, deterministic first-k init -- no RNG): per-cluster
+    # sizes.  rows-only: centroid averages are float reductions whose
+    # partition order may produce last-ULP differences, so a SQL
+    # oracle can't be bit-stable; test_similarity.py pins the
+    # semantics (inertia monotonically non-increasing, full coverage,
+    # determinism of the objective to 1e-6).
+    from dirty_js_etl_spark.operators.similarity import kmeans_lloyd
+
+    emb = _cat(spark, sf_dir).read("embeddings")
+    _, assigned = kmeans_lloyd(
+        emb, vec_col="embedding", id_col="vec_id", k=8, iters=3
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("cluster")
+    )
+
+
+_X133_TERMS = "('data', 'merge', 'scan')"
+
+
+@register(
+    "x133_bm25_scores",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+), dl AS (
+  SELECT doc_id, len(toks) AS dl FROM tok
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), posting AS (
+  SELECT doc_id, UNNEST(toks) AS t FROM tok
+), tf AS (
+  SELECT doc_id, t, count(*) AS tf
+  FROM posting WHERE t IN {_X133_TERMS}
+  GROUP BY doc_id, t
+), df AS (
+  SELECT t, count(DISTINCT doc_id) AS dfreq FROM tf GROUP BY t
+)
+SELECT tf.doc_id,
+       CAST(round(sum(
+         ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1)
+         * tf * 2.2
+         / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+       ), 6) + 0.0 AS DOUBLE) AS bm25
+FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY tf.doc_id
+""",
+)
+def x133_bm25_scores(spark, sf_dir):
+    # BM25 relevance scoring (k1=1.2, b=0.75) for a 3-term query --
+    # x97's boolean postings intersection upgraded to ranked
+    # retrieval.  Corpus stats (N, avgdl) are a 1-row broadcast, df is
+    # |terms| rows broadcast; the only data-scale work is the posting
+    # explode filtered to the query terms BEFORE the shuffle.  The
+    # <=3 transcendental terms per doc are rounded to 6 dp.
+    from dirty_js_etl_spark.operators.text import tokens
+
+    terms = ["data", "merge", "scan"]
+    docs = _cat(spark, sf_dir).read("documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    dl = tok.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    posting = tok.select("doc_id", F.explode("toks").alias("t")).filter(
+        F.col("t").isin(terms)
+    )
+    tf = posting.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("dfreq"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5) + 1
+    )
+    term_score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg((F.round(F.sum(term_score), 6) + F.lit(0.0)).alias("bm25"))
+    )

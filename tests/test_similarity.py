@@ -115,3 +115,50 @@ def test_corpus_not_shuffled_for_topk(spark, catalog):
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestKMeans:
+    def test_inertia_non_increasing_and_full_coverage(self, spark, catalog):
+        from dirty_js_etl_spark.operators.similarity import (
+            assign_clusters,
+            kmeans_inertia,
+            kmeans_lloyd,
+        )
+
+        emb = catalog.read("embeddings")
+        n = emb.count()
+        # iteration-0 objective: init centroids, no refinement
+        init_cent, _ = kmeans_lloyd(
+            emb, vec_col="embedding", id_col="vec_id", k=8, iters=0
+        )
+        i0 = kmeans_inertia(
+            assign_clusters(emb, "embedding", init_cent), "embedding", init_cent
+        )
+        cent3, assigned = kmeans_lloyd(
+            emb, vec_col="embedding", id_col="vec_id", k=8, iters=3
+        )
+        i3 = kmeans_inertia(assigned, "embedding", cent3)
+        assert i3 <= i0 + 1e-9  # Lloyd never increases the objective
+        assert assigned.count() == n  # every vector assigned
+        assert assigned.filter(
+            (F.col("cluster") < 0) | (F.col("cluster") >= 8)
+        ).count() == 0
+
+    def test_objective_stable_across_partitionings(self, spark, catalog):
+        from dirty_js_etl_spark.operators.similarity import (
+            kmeans_inertia,
+            kmeans_lloyd,
+        )
+
+        emb = catalog.read("embeddings")
+        _, a1 = kmeans_lloyd(
+            emb.repartition(2), "embedding", "vec_id", k=4, iters=2
+        )
+        c2, a2 = kmeans_lloyd(
+            emb.repartition(17), "embedding", "vec_id", k=4, iters=2
+        )
+        # float avg order may differ at the last ULP, but the objective
+        # must agree to analytic tolerance
+        i1 = kmeans_inertia(a1, "embedding", c2)
+        i2 = kmeans_inertia(a2, "embedding", c2)
+        assert abs(i1 - i2) / max(abs(i2), 1e-9) < 1e-6
