@@ -12,6 +12,7 @@ document partitions).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -199,3 +200,31 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def compression_ratio_udf():
+    """Arrow-batched pandas UDF: deflate-compressed bytes / raw bytes —
+    the classic gibberish/boilerplate screen (highly repetitive text
+    compresses far below ~0.4; high-entropy noise stays near 1).
+
+    zlib is pinned to level 6; the ratio is a *relative* quality signal,
+    not a cross-engine-stable constant, so queries built on it are
+    rows-only checked with property tests. Vectorized per Arrow batch —
+    the per-row Python cost is the compression itself, unavoidable for
+    this signal.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t: str) -> float:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return ratio

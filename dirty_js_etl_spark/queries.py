@@ -5393,3 +5393,125 @@ def x133_bm25_scores(spark, sf_dir):
         .groupBy("doc_id")
         .agg((F.round(F.sum(term_score), 6) + F.lit(0.0)).alias("bm25"))
     )
+
+
+@register(
+    "x134_bigram_lm_quality",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+), bigrams AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+  WHERE len(toks) >= 2
+), bc AS (
+  SELECT w1, w2, count(*) AS bcnt FROM bigrams GROUP BY w1, w2
+), uc AS (
+  SELECT w1 AS w, count(*) AS ucnt FROM bigrams GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT t) AS vsize
+  FROM (SELECT UNNEST(toks) AS t FROM tok)
+)
+SELECT b.doc_id,
+       CAST(round(sum(ln((bcnt + 1.0) / (ucnt + vsize)))
+                  / count(*), 6) + 0.0 AS DOUBLE) AS avg_logprob,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM bigrams b
+JOIN bc USING (w1, w2)
+JOIN uc ON uc.w = b.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+""",
+)
+def x134_bigram_lm_quality(spark, sf_dir):
+    # Self-trained bigram LM quality score: each doc's average
+    # add-1-smoothed log P(w2|w1) under the CORPUS's own bigram
+    # statistics -- the cheap statistical stand-in for a perplexity
+    # filter (outlier docs score far below the corpus mode).  Bigram
+    # expansion is a map-side generator; model "training" is two hash
+    # aggregates; scoring joins each doc bigram to its corpus counts
+    # on the same (w1, w2) partitioning Catalyst reuses.  V and the
+    # unigram table are broadcast-sized.
+    from dirty_js_etl_spark.operators.text import tokens
+
+    docs = _cat(spark, sf_dir).read("documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = tok.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bcnt"))
+    uc = bigrams.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).alias("ucnt")
+    )
+    v = (
+        tok.select(F.explode("toks").alias("t"))
+        .agg(F.countDistinct("t").alias("vsize"))
+    )
+    lp = F.log((F.col("bcnt") + 1.0) / (F.col("ucnt") + F.col("vsize")))
+    return (
+        bigrams.join(bc, ["w1", "w2"])
+        .join(uc, bigrams.w1 == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.round(F.sum(lp) / F.count(F.lit(1)), 6) + F.lit(0.0)
+            ).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
+@register("x135_compression_quality", None)
+def x135_compression_quality(spark, sf_dir):
+    # Deflate compression-ratio quality signal (Gopher-style repetition
+    # screen) via an Arrow-batched pandas UDF.  rows-only: the exact
+    # ratio depends on the zlib build, which a SQL oracle can't
+    # reproduce; property tests pin the semantics (repetitive <<
+    # random, deterministic across partitionings).
+    from dirty_js_etl_spark.operators.text import compression_ratio_udf
+
+    ratio = compression_ratio_udf()
+    docs = _cat(spark, sf_dir).read("documents")
+    return docs.select(
+        "doc_id", F.round(ratio(F.col("text")), 6).alias("compression_ratio")
+    )
+
+
+@register(
+    "x136_lang_confusion",
+    f"""
+WITH pred AS ({_X4_SQL})
+SELECT d.lang AS label, p.lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+""",
+)
+def x136_lang_confusion(spark, sf_dir):
+    # Classifier evaluation as a query: confusion matrix of the
+    # heuristic language-id (x4) against the labeled lang column --
+    # the accuracy audit every model-derived corpus column needs.
+    # Map-only scoring + a |langs|^2 aggregate.
+    from dirty_js_etl_spark.operators.text import lang_id
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return (
+        docs.select(
+            F.col("lang").alias("label"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -78,3 +78,45 @@ def test_with_text_features_bundle(spark, catalog):
     assert {"n_tokens", "alpha_ratio", "stopword_ratio", "quality", "lang_pred",
             "fingerprint"} <= set(out.columns)
     assert out.count() == 20
+
+
+class TestCompressionRatio:
+    def test_repetitive_below_random(self, spark):
+        from pyspark.sql import Row
+
+        from dirty_js_etl_spark.operators.text import compression_ratio_udf
+
+        import random as _r
+
+        rnd = _r.Random(7)
+        noise = " ".join(
+            "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz0139") for _ in range(8))
+            for _ in range(60)
+        )
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="spam ham " * 200), Row(doc_id=2, text=noise)],
+            "doc_id long, text string",
+        )
+        ratio = compression_ratio_udf()
+        out = {
+            r.doc_id: r.cr
+            for r in df.select(
+                "doc_id", ratio(F.col("text")).alias("cr")
+            ).collect()
+        }
+        assert out[1] < 0.1  # repeated phrase collapses
+        assert out[2] > 0.5  # noise stays near incompressible
+        assert out[1] < out[2]
+
+    def test_deterministic_across_partitionings(self, spark, catalog):
+        from dirty_js_etl_spark.operators.text import compression_ratio_udf
+
+        docs = catalog.read("documents").select("doc_id", "text")
+        ratio = compression_ratio_udf()
+
+        def run(df):
+            return dict(
+                df.select("doc_id", ratio(F.col("text")).alias("c")).collect()
+            )
+
+        assert run(docs.repartition(1)) == run(docs.repartition(9))
