@@ -5515,3 +5515,37 @@ def x136_lang_confusion(spark, sf_dir):
         .groupBy("label", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "x137_stratified_exact_k",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 20
+""",
+)
+def x137_stratified_exact_k(spark, sf_dir):
+    # Exactly-k-per-stratum sample (eval-set builder): rank each
+    # stratum by the md5 hash of the id -- a deterministic shuffle
+    # order -- and keep the first 20.  Unlike rate-based sampling
+    # (x47) the output size is exact per stratum; unlike LIMIT it is
+    # stable across partitionings and re-runs.  One window over the
+    # |strata|-keyed shuffle.
+    from pyspark.sql import Window
+
+    docs = _cat(spark, sf_dir).read("documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
