@@ -5549,3 +5549,143 @@ def x137_stratified_exact_k(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "x138_late_arriving_dim",
+    """
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 100
+)
+SELECT coalesce(d.c_mktsegment, 'UNKNOWN') AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS segment_revenue
+FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+GROUP BY 1
+""",
+)
+def x138_late_arriving_dim(spark, sf_dir):
+    # Late-arriving-dimension handling: facts whose dim member hasn't
+    # landed yet roll into an explicit UNKNOWN bucket instead of
+    # silently dropping (what an inner join would do) or failing (what
+    # the reference's FK lookup returns NULL for, C13).  Once x125's
+    # surrogate assignment backfills the member, re-running reassigns
+    # the bucket -- the join is idempotent.  Broadcast dim, decimal
+    # revenue.
+    cat = _cat(spark, sf_dir)
+    dim = (
+        cat.read("customer")
+        .filter(F.col("c_custkey") < 100)
+        .select("c_custkey", "c_mktsegment")
+    )
+    o = cat.read("orders")
+    return (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey, "left")
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("segment_revenue"),
+        )
+    )
+
+
+@register(
+    "x139_asof_nearest",
+    """
+SELECT l.event_id, l.user_id, nearest.nv AS nearest_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN LATERAL (
+  SELECT r.value AS nv
+  FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+  ORDER BY abs(date_diff('microseconds', l.ts, r.ts)),
+           r.ts, r.event_id
+  LIMIT 1
+) nearest ON TRUE
+""",
+)
+def x139_asof_nearest(spark, sf_dir):
+    # NEAREST as-of join (completes the family: backward x21, forward
+    # x106): each click takes the purchase closest in time, either
+    # direction, earlier-on-tie.  Composed from the two directional
+    # passes -- each ONE key-shuffle union+window, no range explosion
+    # -- then an exact arithmetic pick between the two candidates.
+    from dirty_js_etl_spark.operators.asof import asof_join
+
+    ev = _cat(spark, sf_dir).read("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value")
+    )
+    back = asof_join(
+        clicks, purchases.select(
+            "user_id", "p_ts",
+            F.col("p_ts").alias("b_ts"), F.col("value").alias("b_v"),
+        ),
+        on="user_id", left_time="ts", right_time="p_ts",
+        payload_cols=["b_ts", "b_v"], direction="backward",
+    )
+    both = asof_join(
+        back, purchases.select(
+            "user_id", "p_ts",
+            F.col("p_ts").alias("f_ts"), F.col("value").alias("f_v"),
+        ),
+        on="user_id", left_time="ts", right_time="p_ts",
+        payload_cols=["f_ts", "f_v"], direction="forward",
+    )
+    # microsecond-exact distances via unix_micros (no float)
+    back_d = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    fwd_d = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    pick_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (back_d <= fwd_d)
+    )
+    return both.select(
+        "event_id",
+        "user_id",
+        F.when(pick_back, F.col("b_v"))
+        .otherwise(F.col("f_v"))
+        .alias("nearest_purchase_value"),
+    )
+
+
+@register(
+    "x140_density_grid",
+    """
+WITH b AS (
+  SELECT CAST(least(CAST(l_quantity AS BIGINT) // 10, 4) AS INT) AS qty_bin,
+         CAST(least(CAST(trunc(l_extendedprice) AS BIGINT) // 20000, 4) AS INT)
+           AS price_bin
+  FROM lineitem
+)
+SELECT qty_bin, price_bin, CAST(count(*) AS BIGINT) AS n_rows
+FROM b GROUP BY qty_bin, price_bin
+""",
+)
+def x140_density_grid(spark, sf_dir):
+    # 2-D density grid (quantity x price, 5x5 fixed bins): the
+    # heatmap/data-profile primitive.  Binning is integer floor-div
+    # (engine-exact; the price cast truncates identically because
+    # l_extendedprice is non-negative), the aggregate has 25 keys --
+    # scan-bound at any scale.
+    li = _cat(spark, sf_dir).read("lineitem")
+    b = li.select(
+        F.least(
+            F.expr("CAST(CAST(l_quantity AS BIGINT) DIV 10 AS INT)"), F.lit(4)
+        ).alias("qty_bin"),
+        F.least(
+            F.expr("CAST(CAST(l_extendedprice AS BIGINT) DIV 20000 AS INT)"),
+            F.lit(4),
+        ).alias("price_bin"),
+    )
+    return b.groupBy("qty_bin", "price_bin").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
