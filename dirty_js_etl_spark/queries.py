@@ -5689,3 +5689,105 @@ def x140_density_grid(spark, sf_dir):
     return b.groupBy("qty_bin", "price_bin").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register(
+    "x141_triangle_count",
+    """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+)
+SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*)
+             FROM pairs e1
+             JOIN pairs e2 ON e2.pa = e1.pb
+             JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS BIGINT)
+         AS n_triangles
+""",
+)
+def x141_triangle_count(spark, sf_dir):
+    # Triangle counting on the co-purchase graph (parts sharing >= 2
+    # orders): the standard distributed-graph kernel.  Edges are
+    # canonically oriented a<b, so each triangle a<b<c is found
+    # exactly once by the two-hop join e(a,b) |x| e(b,c) |x| e(a,c).
+    # The co-occurrence build is the x73 co-partitioned self-join; the
+    # pruned edge list (HAVING >= 2) is dimension-sized and
+    # broadcasts.  At 100 TB, orient edges low-degree -> high-degree
+    # instead of a<b to bound the two-hop fan-out on hub nodes.
+    li = _cat(spark, sf_dir).read("lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return edges.crossJoin(tri)
+
+
+@register(
+    "x142_share_of_total",
+    """
+WITH rev AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, o_custkey AS c_custkey,
+       CAST(cents * 10000 // sum(cents) OVER (PARTITION BY c_mktsegment)
+            AS BIGINT) AS share_bps
+FROM rev
+""",
+)
+def x142_share_of_total(spark, sf_dir):
+    # Percent-of-total (ratio_to_report): each customer's share of its
+    # segment's revenue, in integer basis points over exact cents --
+    # no float division anywhere, so shares sum consistently and
+    # engines agree bit-for-bit.  One aggregate shuffle + one window
+    # over the reduced |customers| relation reusing the same segment
+    # partitioning.
+    from pyspark.sql import Window
+
+    cat = _cat(spark, sf_dir)
+    o = cat.read("orders")
+    c = cat.read("customer")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment")
+    return rev.select(
+        "c_mktsegment",
+        F.col("o_custkey").alias("c_custkey"),
+        F.expr(
+            "CAST(cents * 10000 DIV sum(cents) OVER "
+            "(PARTITION BY c_mktsegment) AS BIGINT)"
+        ).alias("share_bps"),
+    )
