@@ -5791,3 +5791,107 @@ def x142_share_of_total(spark, sf_dir):
             "(PARTITION BY c_mktsegment) AS BIGINT)"
         ).alias("share_bps"),
     )
+
+
+_X143_GRAPH = """
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(DISTINCT a.l_orderkey) >= 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges)
+"""
+
+_X143_STEP = """
+s{i} AS (
+  SELECT e.dst AS node, sum(p.r // d.d) AS s
+  FROM pr{prev} p
+  JOIN deg d ON d.src = p.node
+  JOIN edges e ON e.src = p.node
+  GROUP BY e.dst
+),
+pr{i} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN s{i} s USING (node)
+)
+"""
+
+
+@register(
+    "x143_pagerank",
+    "WITH "
+    + _X143_GRAPH.strip()
+    + ","
+    + _X143_STEP.format(i=1, prev=0).strip().replace(
+        "pr0 p", "(SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes) p"
+    )
+    + ","
+    + _X143_STEP.format(i=2, prev=1).strip()
+    + ","
+    + _X143_STEP.format(i=3, prev=2).strip()
+    + """
+SELECT node AS part_key, r AS rank_ppm FROM pr3
+""",
+)
+def x143_pagerank(spark, sf_dir):
+    # PageRank (damping 0.85, 3 iterations) on the undirected
+    # co-purchase graph -- in PURE INTEGER arithmetic: ranks live in
+    # parts-per-million, contributions are floor-divided by degree,
+    # damping is (85*s) DIV 100.  Every engine and every partitioning
+    # produces bit-identical ranks, so the oracle unrolls the same 3
+    # iterations as plain CTEs.  Spark-side each iteration is one
+    # contribution shuffle keyed by dst; degrees broadcast; only the
+    # iteration COUNT is driver-side -- rank rows never leave
+    # executors.  At 100 TB add checkpointing every ~5 iterations to
+    # truncate lineage.
+    li = _cat(spark, sf_dir).read("lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("dsrc")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    hop = edges.select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.withColumn("r", F.lit(1000000).cast("bigint"))
+    for _ in range(3):
+        contribs = (
+            ranks.join(F.broadcast(deg), F.col("node") == F.col("dsrc"))
+            .withColumn("c", F.expr("r DIV d"))
+            .join(hop, F.col("node") == F.col("e_src"))
+            .groupBy(F.col("e_dst").alias("node2"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.expr(
+                    "CAST(150000 + (85 * coalesce(s, 0)) DIV 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("part_key"), F.col("r").alias("rank_ppm")
+    )
