@@ -5895,3 +5895,33 @@ def x143_pagerank(spark, sf_dir):
     return ranks.select(
         F.col("node").alias("part_key"), F.col("r").alias("rank_ppm")
     )
+
+
+@register("x144_sketch_rollup", None)
+def x144_sketch_rollup(spark, sf_dir):
+    # Two-level sketch REAGGREGATION: per-day HLL sketches (binary,
+    # storable) union-merged into weekly distinct-user estimates --
+    # x98's incremental-rollup story for COUNT DISTINCT, the one
+    # aggregate plain partial sums can't reaggregate.  At 100 TB/day
+    # the daily sketch table is bytes per day; weekly/monthly/any-ad-
+    # hoc-range distincts come from merging stored states instead of
+    # rescanning raw events.  rows-only: sketch estimates are
+    # engine-specific (DataSketches HLL); test_sketches.py bounds the
+    # error vs the exact two-level answer at <= 5%.
+    ev = _cat(spark, sf_dir).read("events")
+    daily = ev.groupBy(
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / F.lit(7)
+        ).cast("int").alias("week_idx"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    return (
+        daily.groupBy("week_idx")
+        .agg(
+            F.expr(
+                "hll_sketch_estimate(hll_union_agg(sk, true))"
+            ).alias("approx_weekly_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )

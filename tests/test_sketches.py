@@ -35,3 +35,37 @@ def test_sketches_within_bounds(spark, catalog):
         # quantile sketches: within a small value-space neighborhood
         assert abs(a["p50"] - e["p50"]) <= 0.05 * max(abs(e["p50"]), 1)
         assert abs(a["p95"] - e["p95"]) <= 0.05 * max(abs(e["p95"]), 1)
+
+
+def test_sketch_rollup_merge_error_bounded(spark):
+    from dirty_js_etl_spark.queries import all_queries
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["week_idx"]: r["approx_weekly_users"]
+        for r in all_queries()["x144_sketch_rollup"](spark, SF_DIR).collect()
+    }
+    from pyspark.sql import functions as F
+
+    from dirty_js_etl_spark.catalog import fixture_catalog
+
+    ev = fixture_catalog(spark, SF_DIR).read("events")
+
+    exact = {
+        r["week_idx"]: r["n"]
+        for r in ev.groupBy(
+            (
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_idx")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for w, est in got.items():
+        assert abs(est - exact[w]) / exact[w] <= 0.05, (w, est, exact[w])
