@@ -5925,3 +5925,106 @@ def x144_sketch_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_days"),
         )
     )
+
+
+@register(
+    "x145_rolling_active_users",
+    """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+), wau AS (
+  SELECT d.day, count(DISTINCT u.user_id) AS wau7
+  FROM days d JOIN du u
+    ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day
+), dau AS (
+  SELECT day, count(*) AS dau FROM du GROUP BY day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau7 AS BIGINT) AS wau7,
+       CAST(dau.dau * 10000 // wau.wau7 AS BIGINT) AS stickiness_bps
+FROM days d JOIN dau USING (day) JOIN wau USING (day)
+""",
+)
+def x145_rolling_active_users(spark, sf_dir):
+    # Rolling engagement: DAU, trailing-7-day WAU, and DAU/WAU
+    # stickiness (integer bps).  COUNT DISTINCT cannot slide in a
+    # window frame, so the scalable exact form reduces events to
+    # distinct (day, user) once, then fans each daily roster into the
+    # <= 7 windows it serves (a bounded 7x row multiplier on the
+    # REDUCED relation, never on raw events) and re-counts.  The
+    # approximate scale path is x144's mergeable HLL daily states.
+    cat = _cat(spark, sf_dir)
+    ev = cat.read("events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d2 = days.select(F.col("day").alias("d"))
+    wau = (
+        du.join(
+            F.broadcast(d2),
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau7"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.d)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau7",
+            F.expr("CAST(dau * 10000 DIV wau7 AS BIGINT)").alias(
+                "stickiness_bps"
+            ),
+        )
+    )
+
+
+@register(
+    "x146_blocklist_filter",
+    """
+WITH blocklist AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS fp
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+LEFT JOIN blocklist b
+  ON md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) = b.fp
+WHERE b.fp IS NULL AND d.doc_id % 20 <> 0
+""",
+)
+def x146_blocklist_filter(spark, sf_dir):
+    # Exact-hash blocklist decontamination: drop any training doc
+    # whose normalized-text fingerprint appears in the eval/blocklist
+    # set -- the exact-match complement of x45's n-gram overlap (that
+    # catches partial contamination; this catches verbatim copies,
+    # including doc_id-different duplicates of eval rows).  The
+    # blocklist reduces to |eval| fingerprints and broadcasts; the
+    # corpus side is a map-only hash + broadcast anti join -- no
+    # corpus shuffle at any scale.
+    from dirty_js_etl_spark.operators.text import fingerprint_md5
+
+    docs = _cat(spark, sf_dir).read("documents")
+    block = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(fingerprint_md5(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    return (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .join(
+            F.broadcast(block),
+            fingerprint_md5(F.col("text")) == F.col("fp"),
+            "left_anti",
+        )
+        .select("doc_id", "lang")
+    )
