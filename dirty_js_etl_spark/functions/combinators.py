@@ -57,31 +57,44 @@ __all__ = [
 ]
 
 
+def _ident_slug(value: Any) -> str:
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9]", "_", str(value))
+
+
 @dataclass(frozen=True)
 class FkLookup:
     """A surrogate-key lookup (reference C13, ``mappr.js:283-307``).
 
-    The reference generates a scalar T-SQL function per distinct
+    The reference memoizes the generated scalar function per
     ``(parent_table, parent_column, import_column[, filter])`` tuple
-    (memoized, ``mappr.js:290-294``); the Spark-native equivalent is a
-    **broadcast left-outer equi-join** against the deduplicated parent
-    (SURVEY.md §2 row C13). ``name`` doubles as the memo key and the
-    join-output column prefix.
+    (``mappr.js:290-294``) but passes each column's own ``sourceColumn``
+    per *invocation* (``mappr.js:298-304``) — so two FK columns reading
+    different fact columns against the same parent must produce distinct
+    lookups. ``name`` (the memo key and join-output column prefix) therefore
+    includes ``source_column`` and ``filter_value``: distinct invocations
+    get distinct joins while the parent read itself is still shared by
+    Catalyst (same scan, reused exchange).
     """
 
     parent_table: str
     parent_column: str
     import_column: str
+    source_column: str = ""
     filter_column: str | None = None
     filter_value: Any = None
 
     @property
     def name(self) -> str:
         # mirrors the generated fn name get_<parent>_<col>_by_<import>
-        # (reference mappr.js:96-105) so plans read like the golden SQL
+        # (reference mappr.js:96-105) so plans read like the golden SQL,
+        # plus the per-invocation disambiguators (source column, filter value)
         n = f"get_{self.parent_table}_{self.parent_column}_by_{self.import_column}"
         if self.filter_column is not None:
-            n += f"_f_{self.filter_column}"
+            n += f"_f_{self.filter_column}_{_ident_slug(self.filter_value)}"
+        if self.source_column:
+            n += f"_from_{self.source_column}"
         return n
 
     @property
@@ -349,6 +362,7 @@ def ForeignKey(
         parent_table=parent_table,
         parent_column=parent_column,
         import_column=import_column,
+        source_column=source_column,
         filter_column=filter_column,
         filter_value=filter_value,
     )
@@ -360,6 +374,19 @@ def ForeignKey(
     )
 
 
+def _render_raw(r: Any) -> str:
+    """Render a raw argument as a SQL literal: None → NULL (as the
+    reference's RawValue renders, ``mappr.js:352-362``), booleans →
+    TRUE/FALSE, strings quoted with embedded single quotes doubled."""
+    if r is None:
+        return "NULL"
+    if isinstance(r, bool):
+        return "TRUE" if r else "FALSE"
+    if isinstance(r, str):
+        return "'" + r.replace("'", "''") + "'"
+    return repr(r)
+
+
 def SqlFunction(
     name: str, columns: list[str] | None = None, raws: list[Any] | None = None
 ) -> ColumnSpec:
@@ -367,9 +394,7 @@ def SqlFunction(
     (``mappr.js:308-329``). Resolved by Spark SQL, so builtins stay
     JVM-side; registered UDFs also resolve by name."""
     cols = list(columns or [])
-    args = [f"`{c}`" for c in cols] + [
-        f"'{r}'" if isinstance(r, str) else repr(r) for r in (raws or [])
-    ]
+    args = [f"`{c}`" for c in cols] + [_render_raw(r) for r in (raws or [])]
     return ColumnSpec(
         expr=F.expr(f"{name}({', '.join(args)})"),
         source_columns=tuple(cols),

@@ -21,8 +21,13 @@ Scale notes (100 TB):
   result AND audit — derives from that single joined plan, so Spark
   computes one shuffle, not two. AQE splits skewed keys at runtime.
 - When the source is a small delta against a huge destination, pass
-  ``broadcast_source=True``: dest is not shuffled at all (broadcast-hash
-  outer join), which is the common nightly-upsert shape.
+  ``broadcast_source=True``: dest is never shuffled. Spark cannot
+  broadcast a FULL OUTER hash join (the hint would be silently ignored
+  and dest would shuffle anyway), so the full merge decomposes into a
+  broadcast LEFT OUTER join over dest (matched + dest-only rows) plus a
+  broadcast-anti-joined INSERT branch for unmatched source rows — two
+  map-only passes over dest, zero shuffles. ``update_only`` is a plain
+  broadcast left-outer join (one pass).
 - Duplicate source keys are an *error* in T-SQL MERGE but silently
   multiply rows in a join; ``validate_keys=True`` adds one cheap
   map-side-combined aggregation to detect them (on by default in tests,
@@ -114,7 +119,29 @@ def merge_upsert(
     # update_only drops source-only rows -> a dest-left join is enough and
     # avoids materializing the unmatched source side.
     join_type = "left_outer" if update_only else "full_outer"
-    joined = d.join(s, cond, join_type)
+    if broadcast_source and join_type == "full_outer" and key_cols:
+        # Spark has no broadcast full-outer hash join — decompose so the
+        # huge dest side stays map-only (see module docstring).
+        left = d.join(s, cond, "left_outer")
+        # dest rows that matched a source row, projected to the column-kind
+        # key values: at most ~|source| rows, broadcastable.
+        matched_keys = (
+            d.join(s, cond, "left_semi").select(*key_cols).distinct()
+        )
+        anti_cond = None
+        for c in key_cols:
+            term = F.col(_S_PREFIX + c) == matched_keys[c]
+            anti_cond = term if anti_cond is None else (anti_cond & term)
+        unmatched_s = s.join(F.broadcast(matched_keys), anti_cond, "left_anti")
+        pad = unmatched_s.select(
+            *[F.lit(None).cast(dest.schema[c].dataType).alias(c) for c in dest.columns],
+            F.lit(None).cast("boolean").alias(_D_PRESENT),
+            *[F.col(_S_PREFIX + c) for c in source.columns],
+            F.col(_S_PRESENT),
+        )
+        joined = left.unionByName(pad)
+    else:
+        joined = d.join(s, cond, join_type)
 
     matched = F.col(_D_PRESENT).isNotNull() & F.col(_S_PRESENT).isNotNull()
     inserted = F.col(_D_PRESENT).isNull() & F.col(_S_PRESENT).isNotNull()
@@ -122,7 +149,10 @@ def merge_upsert(
     mapped = set(source.columns)
     out_cols: list[Column] = []
     for c in dest.columns:
-        d_val = d[c]
+        # plain name reference: dest columns keep their names, source
+        # columns are _S_PREFIX'd, so this stays unambiguous and survives
+        # the broadcast decomposition's unionByName.
+        d_val = F.col(c)
         s_val = F.col(_S_PREFIX + c) if c in mapped else F.lit(None)
         if c in mapped and not insert_only and c not in merge_pk:
             upd = s_val

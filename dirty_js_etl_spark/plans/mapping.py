@@ -193,6 +193,11 @@ def _apply_fk_join(
 
 
 def _fk_source_column(lk: FkLookup, spec: MappingSpec) -> str:
+    # FkLookup identity now carries its own source column (the reference
+    # passes sourceColumn per invocation, mappr.js:298-304), so two FK
+    # columns with different fact-side sources get distinct joins.
+    if lk.source_column:
+        return lk.source_column
     for s in spec.columns.values():
         for cand in s.lookups:
             if cand.name == lk.name:

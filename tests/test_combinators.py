@@ -15,6 +15,7 @@ from dirty_js_etl_spark.functions.combinators import (
     InvertBit,
     MergeOn,
     RawValue,
+    SqlFunction,
     StaticHash,
     TruncateString,
     resolve_type,
@@ -109,5 +110,16 @@ def test_merge_on_forms():
 
 def test_tsql_compat_translate():
     assert tsql_compat.translate("GETDATE()") == "current_timestamp()"
-    assert tsql_compat.translate("LEN([First Name])") == "length(`First Name`)"
+    assert (
+        tsql_compat.translate("LEN([First Name])") == "length(rtrim(`First Name`))"
+    )
     assert tsql_compat.translate("ISNULL(a, b)") == "coalesce(a, b)"
+
+
+def test_sql_function_raw_rendering(spark):
+    # None → NULL, bools → TRUE/FALSE, embedded quotes doubled
+    spec = SqlFunction("coalesce", raws=[None, "it's"])
+    df = spark.range(1).select(spec.expr.alias("out"))
+    assert df.collect()[0]["out"] == "it's"
+    spec2 = SqlFunction("if", raws=[True, "y'es", "n'o"])
+    assert spark.range(1).select(spec2.expr.alias("o")).collect()[0]["o"] == "y'es"

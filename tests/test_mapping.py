@@ -103,6 +103,38 @@ def test_fk_lookups_memoized(catalog):
     assert row["a"] == row["b"]
 
 
+def test_fk_distinct_source_columns_get_distinct_joins(spark):
+    # Two FK columns against the SAME parent but reading DIFFERENT fact
+    # columns (ship_to vs bill_to) must not collapse into one join — the
+    # reference memoizes only the generated function and passes each
+    # column's own sourceColumn per invocation (mappr.js:298-304).
+    cat = Catalog(spark)
+    cat.register(
+        "parent", spark.createDataFrame([(1, "US"), (2, "FR")], "nkey int, nname string")
+    )
+    cat.register(
+        "fact",
+        spark.createDataFrame(
+            [(100, 1, 2), (200, 2, 1)], "id int, ship_to int, bill_to int"
+        ),
+    )
+    spec = MappingSpec(
+        destination="__out",
+        source="fact",
+        columns={
+            "id": DirectCopy("id"),
+            "ship_nation": ForeignKey("ship_to", "parent", "nname", "nkey"),
+            "bill_nation": ForeignKey("bill_to", "parent", "nname", "nkey"),
+        },
+    )
+    assert len(spec.fk_lookups()) == 2
+    out = {
+        r["id"]: (r["ship_nation"], r["bill_nation"])
+        for r in compile_mapping(spec, cat).projected.collect()
+    }
+    assert out == {100: ("US", "FR"), 200: ("FR", "US")}
+
+
 def test_filter_pushdown_reaches_scan(catalog):
     spec = MappingSpec(
         destination="__out",

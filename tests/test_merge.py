@@ -126,6 +126,28 @@ def test_broadcast_source_same_result(spark, frames):
     a = merge_upsert(dest, src, KEYS)
     b = merge_upsert(dest, src, KEYS, broadcast_source=True)
     assert rows(a.result) == rows(b.result)
+    assert rows(a.audit) == rows(b.audit)
+
+
+def test_broadcast_source_never_shuffles_dest(spark, frames):
+    # Spark can't broadcast a full-outer hash join, so the naive hint
+    # would silently fall back to a dest-shuffling sort-merge join; the
+    # decomposition must keep every join a BroadcastHashJoin.
+    dest, src = frames
+    b = merge_upsert(dest, src, KEYS, broadcast_source=True)
+    plan = b.result._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_broadcast_source_insert_only_and_pk(spark, frames):
+    dest, src = frames
+    for kw in (dict(insert_only=True), dict(merge_pk=("k",)), dict(update_only=True)):
+        a = merge_upsert(dest, src, KEYS, **kw)
+        b = merge_upsert(dest, src, KEYS, broadcast_source=True, **kw)
+        assert rows(a.result) == rows(b.result), kw
+        assert rows(a.audit) == rows(b.audit), kw
 
 
 def test_merge_into_sql_render():

@@ -16,9 +16,11 @@ def test_bracket_identifiers():
 def test_function_aliases_case_insensitive():
     assert translate("GETDATE()") == "current_timestamp()"
     assert translate("getdate()") == "current_timestamp()"
-    assert translate("LEN(x) > 0") == "length(x) > 0"
+    assert translate("LEN(x) > 0") == "length(rtrim(x)) > 0"
     assert translate("ISNULL(a, b)") == "coalesce(a, b)"
-    assert translate("CHARINDEX('a', s)") == "instr('a', s)"
+    # T-SQL CHARINDEX(find, search) keeps its argument order under
+    # Spark position(find, search); instr would swap needle/haystack.
+    assert translate("CHARINDEX('a', s)") == "position('a', s)"
 
 
 def test_untranslated_passthrough():
@@ -32,7 +34,25 @@ def test_no_false_positives_inside_words():
     assert translate("length(x)") == "length(x)"
 
 
+def test_len_trailing_space_rule():
+    # T-SQL LEN ignores trailing spaces: LEN('a  ') = 1
+    assert translate("LEN('a  ')") == "length(rtrim('a  '))"
+    # nested parens and quoted parens/escapes stay balanced
+    assert (
+        translate("LEN(concat(a, ')((', 'it''s'))")
+        == "length(rtrim(concat(a, ')((', 'it''s')))"
+    )
+    assert translate("LEN(a) + LEN(b)") == "length(rtrim(a)) + length(rtrim(b))"
+
+
 def test_translated_predicate_runs(spark):
     df = spark.range(3).select(F.col("id").alias("orig_id"))
-    out = df.filter(F.expr(translate("[orig_id] IS NOT NULL AND LEN('ab') = 2")))
+    out = df.filter(
+        F.expr(
+            translate(
+                "[orig_id] IS NOT NULL AND LEN('ab  ') = 2"
+                " AND CHARINDEX('b', 'ab') = 2"
+            )
+        )
+    )
     assert out.count() == 3
