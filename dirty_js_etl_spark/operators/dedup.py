@@ -207,12 +207,20 @@ def minhash_lsh_pairs(
     # shingle arrays (at 16 bands a weakly-similar corpus can emit
     # hundreds of thousands of candidates; arrays there would dominate
     # the stage). jaccard = inter / (|A| + |B| - inter).
+    #
+    # No broadcast hints anywhere in the verify stage: the candidate set
+    # and the per-doc size table are both corpus-cardinality relations on
+    # a near-dup-heavy corpus, and a forced broadcast of either is an
+    # OOM at 100 TB. These are plain shuffle joins on already-narrow
+    # rows; AQE converts them to broadcasts at runtime when the actual
+    # size is small (the sf0.01 test case), which is the only time a
+    # broadcast is safe.
     sizes = sh_base.select("id", F.size("sh").alias("sz"))
     exploded = sh_base.select(
         "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
     )
     ea = exploded.join(
-        F.broadcast(cands), F.col("id") == F.col("id_a")
+        cands, F.col("id") == F.col("id_a")
     ).select("id_a", "id_b", "g")
     inter = (
         ea.alias("ea")
@@ -227,8 +235,8 @@ def minhash_lsh_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -257,9 +265,11 @@ def ngram_jaccard_pairs(
     >``max_shingle_df`` docs creates O(df²) candidates while signaling
     nothing), self-join on the shingle hash and COUNT matches per pair:
     ``|A∩B|`` arrives from the same shuffle that found the candidates, so
-    ``jaccard = inter / (|A| + |B| - inter)`` needs only two broadcast
-    joins against the per-doc size table — shingle arrays are never
-    shipped. Intersection counts use capped shingles; sizes are uncapped
+    ``jaccard = inter / (|A| + |B| - inter)`` needs only two joins
+    against the per-doc size table — shingle arrays are never shipped,
+    and the size table is joined without a broadcast hint (it is
+    corpus-cardinality; AQE broadcasts it at runtime only when actually
+    small). Intersection counts use capped shingles; sizes are uncapped
     full shingle counts (the operational near-dup contract: stop-shingles
     can't *create* a pair but still count toward its union).
     """
@@ -286,8 +296,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
     return (
-        shared.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(

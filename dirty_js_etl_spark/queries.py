@@ -3614,7 +3614,9 @@ def x91_time_weighted_avg(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev = _cat(spark, sf_dir).read("events")
     d = ev.withColumn(
-        "dur", F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
+        "dur",
+        F.lead(F.unix_timestamp(F.col("ts").cast("timestamp"))).over(w)
+        - F.unix_timestamp(F.col("ts").cast("timestamp")),
     ).filter(F.col("dur").isNotNull())
     return (
         d.groupBy("user_id")
@@ -3957,7 +3959,9 @@ def x99_interarrival_stats(spark, sf_dir):
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     ev = _cat(spark, sf_dir).read("events")
     gaps = ev.withColumn(
-        "gap", F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        "gap",
+        F.unix_timestamp(F.col("ts").cast("timestamp"))
+        - F.lag(F.unix_timestamp(F.col("ts").cast("timestamp"))).over(w),
     ).filter(F.col("gap").isNotNull())
     return gaps.groupBy("event_type").agg(
         F.count("gap").alias("n_gaps"),
@@ -4440,9 +4444,10 @@ def x111_interval_coalesce(spark, sf_dir):
     )
     return merged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_islands"),
-        F.sum(F.col("me").cast("long") - F.col("ms").cast("long")).alias(
-            "covered_seconds"
-        ),
+        F.sum(
+            F.unix_timestamp(F.col("me").cast("timestamp"))
+            - F.unix_timestamp(F.col("ms").cast("timestamp"))
+        ).alias("covered_seconds"),
     )
 
 

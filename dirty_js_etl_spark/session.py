@@ -35,6 +35,13 @@ def get_spark(app_name: str = "dirty_js_etl_spark", master: str | None = None) -
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet writers that omit the isAdjustedToUTC flag (e.g. pandas/
+        # pyarrow defaults) would otherwise surface as TIMESTAMP_NTZ under
+        # Spark 4's inference, breaking epoch math (cast to long is an
+        # AnalysisException on NTZ under ANSI mode) and streaming
+        # watermarks. Force LTZ reads — with the UTC session timezone above
+        # this matches how the DuckDB oracle reads the same files.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -16,35 +16,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# the fixture parquet stores ts as TIMESTAMP(NANOS); streamed in as long
-# nanos (nanosAsLong) and rebuilt as a micros timestamp, matching the
-# batch catalog loader
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the fixture parquet (maxFilesPerTrigger=1
-    keeps micro-batches deterministic in tests)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    keeps micro-batches deterministic in tests).
+
+    The stream schema is probed from the files with a batch read rather
+    than hardcoded: the fixture writer's timestamp physical type has
+    drifted across regenerations (TIMESTAMP(NANOS) → timestamp[us],
+    UTC-flag present → absent), and a FileStreamSource schema that
+    disagrees with the footer silently misdecodes values instead of
+    failing. Whatever arrives, ``ts`` is normalized to a session-tz
+    timestamp so downstream watermarks/windows are type-stable."""
+    probed = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # legacy nanos fixtures surface as bigint nanos under the nanosAsLong
+    # escape hatch; modern micros fixtures surface as timestamp directly
+    if dict(probed.dtypes).get("ts") == "bigint":
+        rebuild = F.expr("timestamp_micros(ts div 1000)")
+    else:
+        rebuild = F.col("ts").cast("timestamp")
     # glob form: FileStreamSource requires a directory-or-glob path; the
     # bare file path is rejected ("basePath must be a directory")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(probed.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{sf_dir}/events.*")
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", rebuild)
 
 
 def windowed_rollup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

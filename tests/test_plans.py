@@ -176,6 +176,19 @@ def test_equalize_mix_broadcasts_rates(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_verify_stage_never_forces_broadcast(spark):
+    # the near-dup verify stage joins candidate pairs against the
+    # per-doc size table — BOTH are corpus-cardinality relations, so a
+    # user-forced broadcast hint (strategy=broadcast in the optimized
+    # plan) is an OOM at 100 TB.  AQE may still *choose* a runtime
+    # broadcast when the actual size is small; that is the only safe
+    # form, and it leaves no hint in the logical plan.
+    for name in ("x5_ngram_jaccard_pairs", "x6_minhash_lsh_pairs"):
+        df = all_queries()[name](spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in opt, name
+
+
 def test_winsorize_bounds_broadcast_not_shuffle(spark):
     # the p01/p99 bounds are a 1-row broadcast; lineitem scans twice
     # (once for bounds, once clipped) but never sort-merge joins

@@ -36,7 +36,6 @@ def test_stream_matches_batch_across_batches(spark, tmp_path):
     maxFilesPerTrigger=1 each becomes its own micro-batch, so sessions
     spanning the cut only survive via state."""
     from dirty_js_etl_spark.catalog import fixture_catalog
-    from dirty_js_etl_spark.streaming.events import EVENTS_SCHEMA
 
     events = fixture_catalog(spark, SF_DIR).read("events")
     cutoff = events.approxQuantile("value", [0.5], 0.0)  # noqa: F841 (warm)

@@ -36,7 +36,6 @@ def test_stream_upsert_matches_batch(spark):
 def test_stream_upsert_across_batches(spark, tmp_path):
     """Two ts-ordered micro-batches: users appearing in both must end at
     their batch-2 (later) row — i.e. the MERGE updated, not duplicated."""
-    from dirty_js_etl_spark.streaming.events import EVENTS_SCHEMA
     from dirty_js_etl_spark.streaming.upsert import StreamingUpsert, latest_per_key
     from dirty_js_etl_spark.operators.merge import MergeKey
 
