@@ -100,25 +100,35 @@ def pack_sequences(
     sort, never a global sort. Group by shard-sized keys (language ×
     source × date) so each window partition is bounded; the assignment
     is a pure function of (group, id order, token counts), so re-runs
-    and retries are stable.
+    and retries are stable. Without ``group_cols`` the running offset
+    becomes a distributed prefix sum (operators/ranking.py) — still no
+    single-partition sort.
     """
     group_cols = group_cols or []
-    w = (
-        Window.partitionBy(*group_cols).orderBy(id_col)
-        if group_cols
-        else Window.orderBy(id_col)
-    )
-    out = df.select(
+    sel = df.select(
         *group_cols,
         F.col(id_col),
         token_count_col.cast("long").alias("n_tokens"),
-    ).withColumn(
-        "offset",
-        F.coalesce(
-            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).cast("long"),
     )
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(id_col)
+        out = sel.withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    else:
+        from dirty_js_etl_spark.operators.ranking import with_global_prefix_sum
+
+        out = with_global_prefix_sum(
+            sel, [id_col], "n_tokens", "__cum"
+        ).withColumn(
+            "offset", (F.col("__cum") - F.col("n_tokens")).cast("long")
+        ).drop("__cum")
     return out.withColumn(
         "seq_id", F.floor(F.col("offset") / budget).cast("long")
     )

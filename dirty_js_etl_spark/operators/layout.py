@@ -8,8 +8,11 @@ only if rows that are close in the predicate space are close in the
 file order. ``write_clustered`` delivers that for multi-column
 predicates via a Morton (Z-order) key:
 
-1. bucketize each clustering column to ``bits``-bit ranks (range-stable
-   integer quantiles via ``ntile`` — resilient to skew and scale);
+1. bucketize each clustering column to ``bits``-bit ranks: equi-depth
+   bucket boundaries come from ``approxQuantile`` (a sampled sketch —
+   one pass, driver-bounded result, NO global sort), and the rank is a
+   pure map-side count-of-boundaries-below expression — resilient to
+   skew and scale;
 2. interleave the bits into one Z-key (pure integer arithmetic — the
    same formula the x119 query cross-checks against DuckDB);
 3. ``repartitionByRange`` on the key (range partitioner → files own
@@ -22,7 +25,7 @@ only the files whose Z-range intersects it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,12 +41,29 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     return key
 
 
+def _rank_from_bounds(col: str, bounds: list[float]) -> Column:
+    """Bucket rank = number of boundaries <= value: a map-side integer
+    expression over a literal boundary array (duplicate boundaries from
+    heavy hitters collapse into one bucket, keeping ranks < 2^bits)."""
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    v = F.col(col).cast("double")
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(v >= b, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+    )
+
+
 def rank_bucketize(df: DataFrame, col: str, bits: int = 8) -> Column:
-    """Equi-depth bucket rank of ``col`` in [0, 2^bits): an ntile over
-    the column's order, so arbitrary value distributions (skew, outliers)
-    still spread uniformly across the Z-space."""
-    w = Window.orderBy(F.col(col))
-    return (F.ntile(2**bits).over(w) - 1).cast("bigint")
+    """Equi-depth bucket rank of ``col`` in [0, 2^bits): boundaries from
+    an ``approxQuantile`` sketch (one sampled pass, no global sort), so
+    arbitrary value distributions (skew, outliers) still spread roughly
+    uniformly across the Z-space."""
+    n = 2**bits
+    probs = [i / n for i in range(1, n)]
+    bounds = df.approxQuantile(col, probs, 1.0 / (4 * n))
+    return _rank_from_bounds(col, bounds)
 
 
 def write_clustered(
@@ -57,11 +77,18 @@ def write_clustered(
     ``cluster_cols``: ``n_files`` range-partitioned, internally sorted
     files with disjoint Z-ranges (verified by test_layout.py).
 
-    The ntile bucketize is a global sort of the CLUSTER KEY projection
-    only; at 100 TB replace it with approxQuantile-derived bucket
-    boundaries (sampled, no global sort) — same Z-math downstream.
+    Bucket boundaries for ALL cluster columns come from one
+    ``approxQuantile`` pass (multi-column form — a single sampled scan,
+    driver-bounded result); ranking is then pure map-side arithmetic,
+    so the only data movement is the final range partition on ``__z``.
     """
-    zcols = [rank_bucketize(df, c, bits) for c in cluster_cols]
+    n = 2**bits
+    probs = [i / n for i in range(1, n)]
+    all_bounds = df.approxQuantile(cluster_cols, probs, 1.0 / (4 * n))
+    zcols = [
+        _rank_from_bounds(c, bounds)
+        for c, bounds in zip(cluster_cols, all_bounds)
+    ]
     keyed = df.withColumn("__z", zorder_key(zcols, bits))
     (
         keyed.repartitionByRange(n_files, "__z")

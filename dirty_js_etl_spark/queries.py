@@ -2638,16 +2638,19 @@ FROM customer
 )
 def x66_ntile_deciles(spark, sf_dir):
     # decile bucketing; deterministic via the (acctbal, custkey) total
-    # order. A global ntile needs a single ordered partition -- at 100 TB
-    # use hash_bucket quantile boundaries (x35's approx sketch) instead;
-    # this is the exact small-dimension form
-    from pyspark.sql import Window
+    # order.  Distributed ntile (operators/ranking.py): range-partition
+    # on the order key, local row numbers, tiny per-partition offset
+    # broadcast -- exact SQL ntile semantics with NO single-partition
+    # window sort, so the same plan holds at 100 TB.
+    from dirty_js_etl_spark.operators.ranking import with_global_ntile
 
     c = _cat(spark, sf_dir).read("customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey", F.ntile(10).over(w).cast("int").alias("decile")
-    )
+    return with_global_ntile(
+        c.select("c_custkey", "c_acctbal"),
+        ["c_acctbal", "c_custkey"],
+        10,
+        "decile",
+    ).select("c_custkey", "decile")
 
 
 @register(
@@ -3778,10 +3781,10 @@ def x95_peak_concurrency(spark, sf_dir):
     # sort (ts, delta) so a session ending exactly as another starts
     # never overlaps; equal-delta ties can permute but every prefix
     # within a tie group moves monotonically, so the max is invariant.
-    # The global ORDER BY is a single sort partition here; at 100 TB
-    # sweep per-day partitions and add each day's carried-over opening
-    # balance (a tiny 1-row-per-day broadcast) instead.
-    from pyspark.sql import Window
+    # The running sum is a distributed prefix sum (operators/ranking.py):
+    # range-partitioned local sweeps + per-partition carry offsets --
+    # integer deltas are associative-exact, no single sort partition.
+    from dirty_js_etl_spark.operators.ranking import with_global_prefix_sum
 
     ev = _cat(spark, sf_dir).read("events")
     sess = (
@@ -3792,10 +3795,7 @@ def x95_peak_concurrency(spark, sf_dir):
     deltas = sess.select(
         F.col("s").alias("ts"), F.lit(1).alias("delta")
     ).unionAll(sess.select(F.col("e").alias("ts"), F.lit(-1).alias("delta")))
-    w = Window.orderBy("ts", "delta").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    run = deltas.withColumn("conc", F.sum("delta").over(w))
+    run = with_global_prefix_sum(deltas, ["ts", "delta"], "delta", "conc")
     return run.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
     ).agg(F.max("conc").cast("int").alias("peak_concurrency"))
@@ -4832,23 +4832,21 @@ def x120_shard_assignment(spark, sf_dir):
     # (total/8)) -- every shard gets ~total/8 tokens regardless of doc
     # length skew (integer math throughout: before*8 DIV total).  This
     # is how a pretraining corpus is cut into equal-work shards.  The
-    # running sum is a global-order window here; at 100 TB assign per
-    # range-partition with broadcast per-range token offsets (same
-    # arithmetic, no global sort).
-    from pyspark.sql import Window
-
+    # running sum is a distributed prefix sum (operators/ranking.py):
+    # docs range-partition on doc_id, each partition sweeps locally and
+    # adds its broadcast carry offset -- exactly the "per-range token
+    # offsets" plan, so no global sort at any scale.
+    from dirty_js_etl_spark.operators.ranking import with_global_prefix_sum
     from dirty_js_etl_spark.operators.text import token_count
 
     docs = _cat(spark, sf_dir).read("documents")
     d = docs.select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     total = d.agg(F.sum("n_tokens").alias("total_t"))
     c = (
-        d.withColumn("before_t", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        with_global_prefix_sum(d, ["doc_id"], "n_tokens", "__cum")
+        .withColumn("before_t", F.col("__cum") - F.col("n_tokens"))
         .crossJoin(F.broadcast(total))
     )
     return (
@@ -5003,11 +5001,11 @@ def x125_surrogate_keys(spark, sf_dir):
     # Warehouse surrogate-key assignment: natural keys arriving in the
     # fact load but missing from the (stale, custkey<100) dimension get
     # dense new ids continuing from the dimension's current max.  Never monotonically_increasing_id
-    # (partition-dependent, non-dense): deterministic order + window
-    # row_number + broadcast max.  New members per load are small, so
-    # the single-partition window is bounded by the DELTA size, not
-    # the dimension.
-    from pyspark.sql import Window
+    # (partition-dependent, non-dense): deterministic order + the
+    # distributed row number (operators/ranking.py) + broadcast max --
+    # dense, reproducible ids with no single-partition sort even when
+    # a backfill makes the "delta" dimension-sized.
+    from dirty_js_etl_spark.operators.ranking import with_global_row_number
 
     cat = _cat(spark, sf_dir)
     c = cat.read("customer").filter(F.col("c_custkey") < 100)
@@ -5018,12 +5016,12 @@ def x125_surrogate_keys(spark, sf_dir):
         .distinct()
     )
     mx = c.agg(F.max("c_custkey").alias("max_key"))
-    w = Window.orderBy("o_custkey")
     return (
-        new_members.crossJoin(F.broadcast(mx))
+        with_global_row_number(new_members, ["o_custkey"], "__rn")
+        .crossJoin(F.broadcast(mx))
         .select(
             F.col("o_custkey").alias("natural_key"),
-            (F.col("max_key") + F.row_number().over(w)).alias("surrogate_key"),
+            (F.col("max_key") + F.col("__rn")).alias("surrogate_key"),
         )
     )
 
@@ -5168,17 +5166,18 @@ def x128_pareto_abc(spark, sf_dir):
     # cumulative share (A = first 70%, B = to 90%, C = tail).  All
     # comparisons are DECIMAL-exact (cum*100 <= total*70 -- no float
     # share), so the class boundary cannot drift between engines or
-    # partitionings.  The running sum orders |parts| aggregate rows,
-    # not lineitems; at 100 TB that is still a small single sort.
-    from pyspark.sql import Window
+    # partitionings.  The cumulative revenue is a distributed prefix
+    # sum (operators/ranking.py) over (revenue DESC, partkey): decimal
+    # addition is associative-exact, and the |parts| relation never
+    # funnels through one sort task.
+    from dirty_js_etl_spark.operators.ranking import with_global_prefix_sum
 
     li = _cat(spark, sf_dir).read("lineitem")
     rev = li.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("r"))
     total = rev.agg(F.sum("r").alias("total"))
-    w = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = rev.withColumn("cum", F.sum("r").over(w)).crossJoin(F.broadcast(total))
+    c = with_global_prefix_sum(
+        rev, [F.desc("r"), "l_partkey"], "r", "cum"
+    ).crossJoin(F.broadcast(total))
     cls = (
         F.when(F.col("cum") * 100 <= F.col("total") * 70, "A")
         .when(F.col("cum") * 100 <= F.col("total") * 90, "B")
@@ -5213,12 +5212,13 @@ FROM m
 )
 def x129_rfm_scores(spark, sf_dir):
     # RFM customer scoring: quartile buckets over recency, frequency,
-    # monetary -- three ntile windows over the SAME |customers|-scale
-    # aggregate (one shuffle to aggregate orders; the windows sort the
-    # reduced relation).  Every ordering carries the custkey
-    # tie-break, without which ntile is nondeterministic at quartile
-    # boundaries; monetary is decimal so ties are exact.
-    from pyspark.sql import Window
+    # monetary -- three distributed ntiles (operators/ranking.py) over
+    # the SAME |customers|-scale aggregate: one shuffle to aggregate
+    # orders, then three range-partitioned ranking passes (one per
+    # ordering) with no single-partition sorts.  Every ordering carries
+    # the custkey tie-break, without which ntile is nondeterministic at
+    # quartile boundaries; monetary is decimal so ties are exact.
+    from dirty_js_etl_spark.operators.ranking import with_global_ntile
 
     o = _cat(spark, sf_dir).read("orders")
     m = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
@@ -5226,12 +5226,10 @@ def x129_rfm_scores(spark, sf_dir):
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
-    return m.select(
-        "c_custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "c_custkey")).cast("int").alias("r_score"),
-        F.ntile(4).over(Window.orderBy("frequency", "c_custkey")).cast("int").alias("f_score"),
-        F.ntile(4).over(Window.orderBy("monetary", "c_custkey")).cast("int").alias("m_score"),
-    )
+    m = with_global_ntile(m, ["last_order", "c_custkey"], 4, "r_score")
+    m = with_global_ntile(m, ["frequency", "c_custkey"], 4, "f_score")
+    m = with_global_ntile(m, ["monetary", "c_custkey"], 4, "m_score")
+    return m.select("c_custkey", "r_score", "f_score", "m_score")
 
 
 @register(

@@ -1,0 +1,88 @@
+"""Distributed total-order ranking (operators/ranking.py): exact parity
+with the single-partition window spelling, plus the plan-shape property
+that motivates it — no data-sized unpartitioned window sort."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.operators.ranking import (
+    with_global_ntile,
+    with_global_prefix_sum,
+    with_global_row_number,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    random.seed(7)
+    rows = [(i, random.randint(0, 50), random.randint(1, 9)) for i in range(1, 1234)]
+    return spark.createDataFrame(rows, "id long, k long, v long")
+
+
+def _diff(a, b):
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
+
+
+def test_row_number_matches_single_partition(keyed):
+    ref = keyed.select(
+        "id",
+        F.row_number().over(Window.orderBy("k", "id")).cast("bigint").alias("rn"),
+    )
+    got = with_global_row_number(keyed, ["k", "id"], "rn", num_partitions=13)
+    assert _diff(ref, got.select("id", "rn")) == 0
+
+
+def test_row_number_desc_ordering(keyed):
+    ref = keyed.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("k"), "id"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    got = with_global_row_number(keyed, [F.desc("k"), "id"], "rn", num_partitions=13)
+    assert _diff(ref, got.select("id", "rn")) == 0
+
+
+def test_prefix_sum_matches_single_partition(keyed):
+    w = Window.orderBy("k", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = keyed.select("id", F.sum("v").over(w).alias("ps"))
+    got = with_global_prefix_sum(keyed, ["k", "id"], "v", "ps", num_partitions=13)
+    assert _diff(ref, got.select("id", "ps")) == 0
+
+
+@pytest.mark.parametrize("n", [4, 7, 10])
+def test_ntile_matches_single_partition(keyed, n):
+    ref = keyed.select(
+        "id", F.ntile(n).over(Window.orderBy("k", "id")).cast("int").alias("nt")
+    )
+    got = with_global_ntile(keyed, ["k", "id"], n, "nt", num_partitions=13)
+    assert _diff(ref, got.select("id", "nt")) == 0
+
+
+def test_ntile_fewer_rows_than_buckets(spark):
+    tiny = spark.createDataFrame([(i, i) for i in range(1, 4)], "id long, k long")
+    ref = tiny.select(
+        "id", F.ntile(10).over(Window.orderBy("k", "id")).cast("int").alias("nt")
+    )
+    got = with_global_ntile(tiny, ["k", "id"], 10, "nt", num_partitions=5)
+    assert _diff(ref, got.select("id", "nt")) == 0
+
+
+def test_plan_has_no_data_sized_global_window(keyed):
+    # every Window over the DATA is partitioned (by the range-partition
+    # id); the only single-partition window runs over the per-partition
+    # offsets relation — one row per range partition, behind an
+    # Aggregate, never the data itself
+    got = with_global_prefix_sum(keyed, ["k", "id"], "v", "ps", num_partitions=13)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # the data-side window partitions on the pid column
+    assert "__gord_pid" in plan
