@@ -82,17 +82,22 @@ def main() -> None:
     for n in names[:1]:
         qs[n](spark, sf_dir).count()
 
-    # best-of-N (default 2): the host VM shows noticeable run-to-run
-    # steal/JIT variance; the minimum is the achievable per-query time
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # per-query untimed warmup + best-of-N (default 3): the host VM
+    # shows heavy run-to-run steal/JIT variance (round 2 recorded a
+    # phantom 8x regression on x5 from one contended run); the warmup
+    # absorbs first-run compilation/page-cache effects and the minimum
+    # of three timed runs is the achievable per-query time — a noisy
+    # run can only ADD time, so it can never fake a regression
+    runs = max(3, int(os.environ.get("BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for n in names:
         best = float("inf")
-        for _ in range(runs):
+        for i in range(runs + 1):
             t0 = time.perf_counter()
             df = qs[n](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            if i > 0:  # run 0 is the untimed warmup
+                best = min(best, time.perf_counter() - t0)
             # drop frames persisted inside operators (dedup shingle
             # tables) so measurements stay isolated across queries
             spark.catalog.clearCache()

@@ -63,6 +63,17 @@ def _ident_slug(value: Any) -> str:
     return _re.sub(r"[^A-Za-z0-9]", "_", str(value))
 
 
+def normalize_options(options: Any, key: str = "sourceColumn") -> dict:
+    """The reference's string-vs-object argument coercion
+    (``mappr.js:106-114`` and the per-combinator
+    ``if (!opts.sourceColumn) opts.sourceColumn = options`` idiom,
+    ``mappr.js:146,193``): every combinator accepts either an options
+    object or a bare scalar shorthand for its primary key."""
+    if isinstance(options, dict):
+        return dict(options)
+    return {key: options}
+
+
 @dataclass(frozen=True)
 class FkLookup:
     """A surrogate-key lookup (reference C13, ``mappr.js:283-307``).
@@ -142,9 +153,11 @@ def _col_spec(expr: Column, *cols: str, **kw: Any) -> ColumnSpec:
 # ---------------------------------------------------------------------------
 
 
-def DirectCopy(source_column: str) -> ColumnSpec:
-    """C1 — identity column reference (``mappr.js:247-261``)."""
-    return _col_spec(F.col(source_column), source_column, is_column=True)
+def DirectCopy(source_column: str | dict) -> ColumnSpec:
+    """C1 — identity column reference (``mappr.js:247-261``).
+    Accepts ``'col'`` or ``{'sourceColumn': 'col'}`` (T17 coercion)."""
+    src = normalize_options(source_column)["sourceColumn"]
+    return _col_spec(F.col(src), src, is_column=True)
 
 
 # T-SQL type spellings -> Spark SQL cast targets. The reference passes
@@ -182,27 +195,44 @@ def resolve_type(type_name: str) -> str:
     return type_name  # assume a Spark type name
 
 
-def CastAs(source_column: str, type_name: str) -> ColumnSpec:
-    """C2 — ``CAST(col AS type)`` (``mappr.js:120-133``)."""
-    return _col_spec(
-        F.col(source_column).cast(resolve_type(type_name)), source_column, is_column=True
-    )
+def CastAs(source_column: str | dict, type_name: str | None = None) -> ColumnSpec:
+    """C2 — ``CAST(col AS type)`` (``mappr.js:120-133``). The second
+    argument is the *default* when ``options.type`` is unset, matching
+    ``mappr.js:121-123``."""
+    o = normalize_options(source_column)
+    src = o["sourceColumn"]
+    t = o.get("type") or type_name
+    if t is None:
+        raise ValueError(f"CastAs for {src!r} needs a type")
+    return _col_spec(F.col(src).cast(resolve_type(t)), src, is_column=True)
 
 
 def RawValue(value: Any = None, dtype: str | None = None) -> ColumnSpec:
-    """C3 — literal; ``None`` → NULL (``mappr.js:352-362``)."""
+    """C3 — literal; ``None`` → NULL (``mappr.js:352-362``).
+    Accepts a bare value or ``{'value': v}`` (T17 coercion)."""
+    if isinstance(value, dict):
+        value = value.get("value")
     expr = F.lit(None) if value is None else F.lit(value)
     if dtype is not None:
         expr = expr.cast(resolve_type(dtype))
     return ColumnSpec(expr=expr)
 
 
-def CaseMap(source_column: str, mapping: dict[Any, Any], default: Any = None) -> ColumnSpec:
+def CaseMap(
+    source_column: str | dict,
+    mapping: dict[Any, Any] | None = None,
+    default: Any = None,
+) -> ColumnSpec:
     """C4 — value remap via chained CASE (``mappr.js:143-166``).
 
     The reference nests one CASE per key; the flat WHEN-chain is
     semantically identical (verified by execution, SURVEY.md C4).
+    Object form: ``{'sourceColumn': c, 'map': {...}, 'default': d}``.
     """
+    o = normalize_options(source_column)
+    source_column = o["sourceColumn"]
+    mapping = o.get("map", mapping) or {}
+    default = o.get("default", default)
     col = F.col(source_column)
     expr: Column | None = None
     for k, v in mapping.items():
@@ -213,22 +243,31 @@ def CaseMap(source_column: str, mapping: dict[Any, Any], default: Any = None) ->
     return _col_spec(expr.otherwise(F.lit(default)), source_column, is_column=True)
 
 
-def InvertBit(source_column: str) -> ColumnSpec:
+def InvertBit(source_column: str | dict) -> ColumnSpec:
     """C5 — ``CASE WHEN c = 1 THEN 0 ELSE 1 END``; NULL → 1
     (``mappr.js:191-202``). Deliberately NOT ``1 - c`` (would keep NULL)."""
-    col = F.col(source_column)
+    src = normalize_options(source_column)["sourceColumn"]
+    col = F.col(src)
     return _col_spec(
-        F.when(col == 1, F.lit(0)).otherwise(F.lit(1)), source_column, is_column=True
+        F.when(col == 1, F.lit(0)).otherwise(F.lit(1)), src, is_column=True
     )
 
 
-def TruncateString(source_column: str, string_length: int) -> ColumnSpec:
-    """C6 — ``RTRIM(LEFT(c, n))`` then empty→NULL (``mappr.js:203-215``)."""
-    trimmed = F.rtrim(F.substring(F.col(source_column), 1, string_length))
-    return _col_spec(F.nullif(trimmed, F.lit("")), source_column, is_column=True)
+def TruncateString(
+    source_column: str | dict, string_length: int | None = None
+) -> ColumnSpec:
+    """C6 — ``RTRIM(LEFT(c, n))`` then empty→NULL (``mappr.js:203-215``).
+    Object form: ``{'sourceColumn': c, 'stringLength': n}``."""
+    o = normalize_options(source_column)
+    src = o["sourceColumn"]
+    n = o.get("stringLength", string_length)
+    if n is None:
+        raise ValueError(f"TruncateString for {src!r} needs stringLength")
+    trimmed = F.rtrim(F.substring(F.col(src), 1, n))
+    return _col_spec(F.nullif(trimmed, F.lit("")), src, is_column=True)
 
 
-def ConcatColumns(columns: list[str], spacer: str = " ") -> ColumnSpec:
+def ConcatColumns(columns: list[str] | dict, spacer: str = " ") -> ColumnSpec:
     """C7 — NULL-safe concat with spacer + outer trim (``mappr.js:216-235``).
 
     Every part is coalesced to ``''`` first: plain ``concat_ws`` *skips*
@@ -236,6 +275,9 @@ def ConcatColumns(columns: list[str], spacer: str = " ") -> ColumnSpec:
     empty string — interior empties leave doubled spacers, and the outer
     ``RTRIM(LTRIM(...))`` only strips outer whitespace.
     """
+    if isinstance(columns, dict):
+        spacer = columns.get("spacer", spacer)
+        columns = columns["columns"]
     parts = [F.coalesce(F.col(c), F.lit("")) for c in columns]
     return ColumnSpec(
         expr=F.trim(F.concat_ws(spacer, *parts)),
@@ -244,20 +286,24 @@ def ConcatColumns(columns: list[str], spacer: str = " ") -> ColumnSpec:
     )
 
 
-def CopyOrDefault(source_column: str, value: Any) -> ColumnSpec:
+def CopyOrDefault(source_column: str | dict, value: Any = None) -> ColumnSpec:
     """C8 — empty-or-NULL → default (``mappr.js:271-282``).
 
     T-SQL ``LEN`` ignores trailing spaces, so whitespace-only strings
     count as empty — hence the ``rtrim`` before ``length``.
+    Object form: ``{'sourceColumn': c, 'value': v}``.
     """
-    col = F.col(source_column)
+    o = normalize_options(source_column)
+    src = o["sourceColumn"]
+    value = o.get("value", value)
+    col = F.col(src)
     empty = col.isNull() | (F.length(F.rtrim(col)) == 0)
     return _col_spec(
-        F.when(empty, F.lit(value)).otherwise(col), source_column, is_column=True
+        F.when(empty, F.lit(value)).otherwise(col), src, is_column=True
     )
 
 
-def CopyOrClear(source_column: str, value: Any = None) -> ColumnSpec:
+def CopyOrClear(source_column: str | dict, value: Any = None) -> ColumnSpec:
     """C9 — alias of C8 (``mappr.js:262-270`` delegates to CopyOrDefault)."""
     return CopyOrDefault(source_column, value)
 
@@ -268,7 +314,12 @@ def StaticHash(
     """C10 — hash a *static* value at plan-build time on the driver and
     embed the digest as a literal (``mappr.js:236-246``). The per-row
     variant would be ``F.sha2(col, 512)`` — explicitly not what the
-    reference does (verified by execution, SURVEY.md C10)."""
+    reference does (verified by execution, SURVEY.md C10).
+    Object form: ``{'value': v, 'algorithm': ..., 'encoding': ...}``."""
+    if isinstance(value, dict):
+        algorithm = value.get("algorithm", algorithm)
+        encoding = value.get("encoding", encoding)
+        value = value.get("value")
     h = hashlib.new(algorithm, str(value).encode("utf-8"))
     if encoding == "base64":
         digest = base64.b64encode(h.digest()).decode("ascii")
@@ -289,11 +340,19 @@ _AGG_FNS = {
 }
 
 
-def AggregateColumn(source_column: str, aggregate: str) -> ColumnSpec:
+def AggregateColumn(
+    source_column: str | dict, aggregate: str | None = None
+) -> ColumnSpec:
     """C11 — mark a column for aggregation under ``useGrouping``
     (``mappr.js:134-142``). The compiler emits ``AGG(c) AS c`` inside the
     grouped source (``tsql2008.js:235-238``) and the outer expression
-    references the aliased result — so ``expr`` is just the column ref."""
+    references the aliased result — so ``expr`` is just the column ref.
+    Object form: ``{'sourceColumn': c, 'aggregate': 'SUM'}``."""
+    o = normalize_options(source_column)
+    source_column = o["sourceColumn"]
+    aggregate = o.get("aggregate", aggregate)
+    if aggregate is None:
+        raise ValueError(f"AggregateColumn for {source_column!r} needs an aggregate")
     return _col_spec(
         F.col(source_column),
         source_column,
@@ -313,14 +372,26 @@ def aggregate_expr(source_column: str, aggregate: str) -> Column:
 _UNSET = object()
 
 
-def MergeOn(source_column: str | None = None, value: Any = _UNSET) -> ColumnSpec:
+def MergeOn(
+    source_column: str | dict | None = None, value: Any = _UNSET
+) -> ColumnSpec:
     """C12 — merge-key marker, three forms (``mappr.js:167-190``,
     classification ``tsql2008.js:197-209``):
 
     - ``MergeOn('col')``        → ``ON D.dest = S.col``
     - ``MergeOn(value=v)``      → ``ON D.dest = v``
     - ``MergeOn(value=None)``   → ``ON D.dest IS NULL``
+
+    Object forms (T17 coercion): ``{'sourceColumn': c}`` and
+    ``{'value': v}`` (an explicit ``'value': None`` selects the IS NULL
+    form, as in the reference where the key's *presence* decides,
+    ``mappr.js:171-183``).
     """
+    if isinstance(source_column, dict):
+        o = source_column
+        source_column = o.get("sourceColumn")
+        if "value" in o:
+            value = o["value"]
     if source_column is not None:
         return _col_spec(
             F.col(source_column),
@@ -338,10 +409,10 @@ def MergeOn(source_column: str | None = None, value: Any = _UNSET) -> ColumnSpec
 
 
 def ForeignKey(
-    source_column: str,
-    parent_table: str,
-    parent_column: str,
-    import_column: str,
+    source_column: str | dict,
+    parent_table: str | None = None,
+    parent_column: str | None = None,
+    import_column: str | None = None,
     filter_column: str | None = None,
     filter_value: Any = None,
     **_types: Any,
@@ -357,7 +428,24 @@ def ForeignKey(
 
     ``parentType`` / ``importType`` / ``filterType`` from the reference
     signature are accepted and ignored (types are carried by the data).
+    Object form mirrors the reference's options object
+    (``mappr.js:283-307``): ``{'sourceColumn': ..., 'parentTable': ...,
+    'parentColumn': ..., 'importColumn': ..., 'filterColumn': ...,
+    'filterValue': ...}``.
     """
+    if isinstance(source_column, dict):
+        o = source_column
+        source_column = o["sourceColumn"]
+        parent_table = o.get("parentTable", parent_table)
+        parent_column = o.get("parentColumn", parent_column)
+        import_column = o.get("importColumn", import_column)
+        filter_column = o.get("filterColumn", filter_column)
+        filter_value = o.get("filterValue", filter_value)
+    if parent_table is None or parent_column is None or import_column is None:
+        raise ValueError(
+            f"ForeignKey for {source_column!r} needs parentTable, "
+            "parentColumn and importColumn"
+        )
     lk = FkLookup(
         parent_table=parent_table,
         parent_column=parent_column,
@@ -388,11 +476,19 @@ def _render_raw(r: Any) -> str:
 
 
 def SqlFunction(
-    name: str, columns: list[str] | None = None, raws: list[Any] | None = None
+    name: str | dict,
+    columns: list[str] | None = None,
+    raws: list[Any] | None = None,
 ) -> ColumnSpec:
     """C14 — arbitrary scalar fn call ``name(c1, …, 'raw1', …)``
     (``mappr.js:308-329``). Resolved by Spark SQL, so builtins stay
-    JVM-side; registered UDFs also resolve by name."""
+    JVM-side; registered UDFs also resolve by name.
+    Object form: ``{'name': ..., 'columns': [...], 'raws': [...]}``."""
+    if isinstance(name, dict):
+        o = name
+        name = o["name"]
+        columns = o.get("columns", columns)
+        raws = o.get("raws", raws)
     cols = list(columns or [])
     args = [f"`{c}`" for c in cols] + [_render_raw(r) for r in (raws or [])]
     return ColumnSpec(
@@ -403,7 +499,7 @@ def SqlFunction(
 
 
 def Sql(
-    sql: str,
+    sql: str | dict,
     columns: list[str] | None = None,
     source_column: str | None = None,
     dialect: str = "spark",
@@ -413,7 +509,15 @@ def Sql(
     ``columns`` / ``source_column`` are the optional GROUP-BY-inference
     hints the reference supports. ``dialect='tsql'`` runs the lexical
     T-SQL shim (GETDATE → current_timestamp, [brackets] → backquotes).
+    Object form: ``{'sql': ..., 'columns': [...]}`` or
+    ``{'sql': ..., 'sourceColumn': ...}`` (``mappr.js:333-344``).
     """
+    if isinstance(sql, dict):
+        o = sql
+        sql = o["sql"]
+        columns = o.get("columns", columns)
+        source_column = o.get("sourceColumn", source_column)
+        dialect = o.get("dialect", dialect)
     text = tsql_compat.translate(sql) if dialect == "tsql" else sql
     if source_column is not None:
         return _col_spec(F.expr(text), source_column, is_column=True)

@@ -189,6 +189,15 @@ def test_dedup_verify_stage_never_forces_broadcast(spark):
         assert "strategy=broadcast" not in opt, name
 
 
+def test_triangle_count_never_forces_edge_broadcast(spark):
+    # the co-purchase edge list is corpus-scale on a real graph: the
+    # two-hop wedge joins must be plain shuffle joins (degree-oriented
+    # to bound fan-out), with no user-forced broadcast hint anywhere
+    df = all_queries()["x141_triangle_count"](spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in opt
+
+
 def test_winsorize_bounds_broadcast_not_shuffle(spark):
     # the p01/p99 bounds are a 1-row broadcast; lineitem scans twice
     # (once for bounds, once clipped) but never sort-merge joins
