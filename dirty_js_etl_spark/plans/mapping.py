@@ -165,12 +165,17 @@ def prepare_source(spec: MappingSpec, catalog: Catalog) -> DataFrame:
 def _apply_fk_join(
     df: DataFrame, lk: FkLookup, spec: MappingSpec, catalog: Catalog
 ) -> DataFrame:
-    """C13 as a broadcast left-outer equi-join (SURVEY.md §2 C13).
+    """C13 as a left-outer equi-join (SURVEY.md §2 C13).
 
     The parent is deduplicated on the import key so cardinality matches
     the T-SQL scalar function's "one arbitrary match" — a join would
-    otherwise multiply rows. Parent dims are broadcast: at 100 TB the fact
-    side never shuffles for a lookup.
+    otherwise multiply rows. No forced broadcast hint: FK parents are
+    *already-migrated destination tables* (the reference's own scenario
+    looks up per-user ``individual``/``users`` parents,
+    ``mappings/users.js:31-38``), which scale with the data. Size-based
+    planning broadcasts a parent while it fits — the fact side then
+    never shuffles for the lookup — and degrades to a shuffle join when
+    it doesn't, instead of OOMing the driver on a hinted build side.
     """
     parent = catalog.read(lk.parent_table)
     if lk.filter_column is not None:
@@ -185,7 +190,7 @@ def _apply_fk_join(
     )
     src_col = _fk_source_column(lk, spec)
     joined = df.join(
-        F.broadcast(parent),
+        parent,
         F.col(src_col) == F.col(f"__fkk_{lk.name}"),
         "left_outer",
     )

@@ -2412,8 +2412,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 """,
 )
 def x54_tpch_q14(spark, sf_dir):
-    # promo revenue share: part is dimension-sized -> broadcast; the
-    # filtered lineitem month never shuffles
+    # promo revenue share: no forced hint on part -- it scales with the
+    # data (unlike nation/region); size-based planning broadcasts it
+    # while it fits and degrades to a shuffle join when it doesn't, so
+    # the same code is right at sf0.1 and at 100 TB
     cat = _cat(spark, sf_dir)
     li = cat.read("lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -2425,7 +2427,7 @@ def x54_tpch_q14(spark, sf_dir):
         F.col("p_type").like("PROMO%"), disc
     ).otherwise(F.lit(0).cast("decimal(18,2)"))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (F.lit(100.0) * F.sum(promo) / F.sum(disc))
             .cast("double")
@@ -2452,8 +2454,10 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 """,
 )
 def x55_tpch_q18(spark, sf_dir):
-    # large-volume orders: the HAVING pre-agg is tiny -> broadcast
-    # semi-join back into the fact pipeline
+    # large-volume orders: the HAVING pre-agg is semi-joined back into
+    # the fact pipeline with NO forced hint -- its cardinality is
+    # data-dependent (could be billions of qualifying orders at 100 TB);
+    # AQE broadcasts it at runtime when it is actually small
     cat = _cat(spark, sf_dir)
     c, o, li = cat.read("customer"), cat.read("orders"), cat.read("lineitem")
     big = (
@@ -2464,7 +2468,7 @@ def x55_tpch_q18(spark, sf_dir):
     )
     return (
         o.join(
-            F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+            big.withColumnRenamed("l_orderkey", "bk"),
             F.col("o_orderkey") == F.col("bk"),
             "left_semi",
         )
@@ -2988,8 +2992,10 @@ def x68_integrity_audit(spark, sf_dir):
         edge("lineitem", "l_orderkey", "orders", "o_orderkey",
              "lineitem.l_orderkey->orders", False)
         .unionAll(
+            # customer scales with the data — no forced hint (AQE /
+            # static size decides); only the fixed-size nation dim is
             edge("orders", "o_custkey", "customer", "c_custkey",
-                 "orders.o_custkey->customer", True)
+                 "orders.o_custkey->customer", False)
         )
         .unionAll(
             edge("customer", "c_nationkey", "nation", "n_nationkey",
@@ -3186,18 +3192,18 @@ GROUP BY 1, 2
 )
 def x74_new_vs_returning(spark, sf_dir):
     # cohort split: events on the user's first-seen day are 'new'.
-    # The per-user min(ts) aggregate is |users| rows -- tiny relative
-    # to the event stream -- so it broadcasts back onto events and the
-    # enrichment join costs no shuffle; only the first agg shuffles.
+    # first_ts is a per-user WINDOW min -- one shuffle on user_id and no
+    # join at all.  The previous agg + broadcast-join spelling forced a
+    # |users|-scale relation through a broadcast, which outgrows executor
+    # memory at 100 TB; the window needs nothing resident.
+    from pyspark.sql import Window
+
     ev = _cat(spark, sf_dir).read("events")
-    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
     return (
-        ev.join(F.broadcast(first), "user_id")
-        .select(
+        ev.select(
             "event_type",
-            F.when(
-                F.to_date("ts") == F.to_date("first_ts"), "new"
-            )
+            F.when(F.to_date("ts") == F.to_date(first_ts), "new")
             .otherwise("returning")
             .alias("cohort"),
         )
@@ -3289,21 +3295,22 @@ GROUP BY 1, 2
 )
 def x77_retention_matrix(spark, sf_dir):
     # D0..D7 cohort retention: users first seen on cohort_day who were
-    # active again day_offset days later.  Both the first-seen relation
-    # and the distinct (user, day) activity relation are agg-reduced to
-    # |users|-scale before joining, and first-seen broadcasts -- the
-    # event stream itself is only scanned once.
+    # active again day_offset days later.  d0 rides along as a per-user
+    # WINDOW min before the (user, day) distinct -- one user_id shuffle
+    # feeds both, and there is NO join: the previous agg +
+    # broadcast-join plan shipped a |users|-scale relation through a
+    # broadcast, a 100 TB scale bug.  d0 is functionally dependent on
+    # user_id, so carrying it through the distinct changes nothing.
+    from pyspark.sql import Window
+
     ev = _cat(spark, sf_dir).read("events")
-    first = ev.groupBy("user_id").agg(
-        F.to_date(F.min("ts")).alias("d0")
-    )
+    d0 = F.to_date(F.min("ts").over(Window.partitionBy("user_id")))
     active = ev.select(
-        "user_id", F.to_date("ts").alias("d")
+        "user_id", F.to_date("ts").alias("d"), d0.alias("d0")
     ).distinct()
     off = F.datediff("d", "d0")
     return (
-        active.join(F.broadcast(first), "user_id")
-        .filter(off <= 7)
+        active.filter(off <= 7)
         .groupBy(
             F.col("d0").cast("string").alias("cohort_day"),
             off.cast("int").alias("day_offset"),
@@ -3512,15 +3519,16 @@ GROUP BY 1, 2, 3
 )
 def x83_tpch_q16(spark, sf_dir):
     # TPC-H Q16 analog (lineitem stands in for partsupp): distinct
-    # suppliers per part profile.  The part dim broadcasts onto the
-    # fact scan; Catalyst plans the distinct-agg as the two-phase
+    # suppliers per part profile.  part scales with the data, so no
+    # forced broadcast hint (size-based planning broadcasts it while it
+    # fits); Catalyst plans the distinct-agg as the two-phase
     # expand (partial distinct on (group, suppkey), then final count)
     # so hot part profiles never funnel through one reducer.
     cat = _cat(spark, sf_dir)
     li, p = cat.read("lineitem"), cat.read("part")
     return (
         li.join(
-            F.broadcast(p.filter(F.col("p_brand") != "Brand#1")),
+            p.filter(F.col("p_brand") != "Brand#1"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type", "p_size")
@@ -4330,8 +4338,10 @@ FROM ranked WHERE rnk <= 3
 def x103_topk_with_ties(spark, sf_dir):
     # Top-3 order totals per market segment WITH ties (dense_rank, so
     # equal totals share a rank and all qualify) -- the tie-correct
-    # variant of x22's TakeOrdered top-N.  The customer dim broadcasts;
-    # the window shuffles orders once on the 5-value segment key.  At
+    # variant of x22's TakeOrdered top-N.  customer joins without a
+    # forced hint (it scales with the data; size-based planning
+    # broadcasts while it fits); the window shuffles orders once on the
+    # 5-value segment key.  At
     # 100 TB a 5-partition window would hotspot: pre-aggregate a
     # per-segment threshold via approx quantile first, filter, THEN
     # rank the survivors (same answer, bounded partition).
@@ -4340,7 +4350,7 @@ def x103_topk_with_ties(spark, sf_dir):
 
     o = cat.read("orders")
     c = cat.read("customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
         "c_mktsegment", "o_orderkey", "o_totalprice"
     )
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"))
@@ -4867,10 +4877,10 @@ def x116_tpch_q17(spark, sf_dir):
     # "avg quantity for this part" subquery decorrelates into a
     # per-part aggregate joined back to lineitem.  Quantities are
     # integral doubles so sum/count (and the 0.2x threshold) are
-    # bit-identical across engines; money goes through DECIMAL.  Both
-    # the brand-filtered part dim and the per-part averages broadcast;
-    # lineitem is scanned twice (avg pass + probe pass) but never
-    # shuffled on a fact-sized key.
+    # bit-identical across engines; money goes through DECIMAL.  No
+    # forced hints: part and the per-part averages both scale with the
+    # data, so size-based planning / AQE picks broadcast only while
+    # they fit.  lineitem is scanned twice (avg pass + probe pass).
     cat = _cat(spark, sf_dir)
     li = cat.read("lineitem")
     p = cat.read("part").filter(F.col("p_brand") == "Brand#12")
@@ -4880,8 +4890,8 @@ def x116_tpch_q17(spark, sf_dir):
         )
     )
     probe = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(pavg.withColumnRenamed("l_partkey", "pk")),
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pavg.withColumnRenamed("l_partkey", "pk"),
               F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
     )
@@ -4984,9 +4994,11 @@ def x118_tpch_q7(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer/supplier scale with the data — no forced hints; the
+        # 25-row nation projections keep theirs
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
         .filter(
             (
@@ -6033,7 +6045,7 @@ def x142_share_of_total(spark, sf_dir):
     o = cat.read("orders")
     c = cat.read("customer")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_custkey")
         .agg(
             (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
@@ -6136,7 +6148,10 @@ def x143_pagerank(spark, sf_dir):
     ranks = nodes.withColumn("r", F.lit(1000000).cast("bigint"))
     for _ in range(3):
         contribs = (
-            ranks.join(F.broadcast(deg), F.col("node") == F.col("dsrc"))
+            # deg is |nodes|-scale — no forced broadcast; all three
+            # relations join on the node key so the shuffle partitioning
+            # is reused across iterations, and AQE broadcasts when small
+            ranks.join(deg, F.col("node") == F.col("dsrc"))
             .withColumn("c", F.expr("r DIV d"))
             .join(hop, F.col("node") == F.col("e_src"))
             .groupBy(F.col("e_dst").alias("node2"))

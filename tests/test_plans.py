@@ -113,10 +113,13 @@ def test_tfidf_broadcasts_df_and_count(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_retention_broadcasts_first_seen(spark):
+def test_retention_has_no_join_at_all(spark):
+    # first-seen rides along as a per-user window min before the
+    # distinct — one user_id shuffle, no join, nothing broadcast (the
+    # |users|-scale first-seen relation must never be a broadcast side)
     plan = _plan(spark, "x77_retention_matrix")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
 
 
 def test_runtime_bloom_filter_injects_on_selective_dim(spark):
