@@ -75,7 +75,6 @@ def _session_fn(gap_us: int):
         state: GroupState,
     ) -> Iterator["pd.DataFrame"]:
         user_id = int(key[0])
-        rows = pd.concat(list(pdfs), ignore_index=True)
         if state.exists:
             start_us, last_us, seq, n, total_u = state.get
         else:
@@ -96,6 +95,35 @@ def _session_fn(gap_us: int):
                 )
             )
 
+        def finish(rows_out: list[tuple]) -> "pd.DataFrame":
+            pdf = pd.DataFrame(
+                rows_out,
+                columns=[
+                    "user_id",
+                    "session_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "total_value",
+                ],
+            )
+            pdf["session_start"] = pd.to_datetime(pdf["session_start"], unit="us")
+            pdf["session_end"] = pd.to_datetime(pdf["session_end"], unit="us")
+            return pdf
+
+        # event-time timeout: the watermark passed this user's open
+        # session + gap, so the session can never grow — emit its final
+        # form and REMOVE the state entry. This is what bounds state to
+        # users active within the watermark horizon instead of every
+        # user ever seen (NoTimeout's unbounded-keys leak).
+        if state.hasTimedOut:
+            if last_us is not None:
+                emit()
+            state.remove()
+            yield finish(out)
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
         if len(rows):
             rows = rows.sort_values(["ts", "event_id"])
             ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
@@ -115,34 +143,36 @@ def _session_fn(gap_us: int):
         if last_us is not None:
             emit()  # current open session (re-emitted if it grows later)
             state.update((start_us, last_us, seq, n, total_u))
+            # schedule the close: when the watermark passes last event +
+            # gap the session is final (clamped above the current
+            # watermark, as setTimeoutTimestamp requires)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + gap_us // 1000, wm_ms + 1)
+            )
 
-        pdf = pd.DataFrame(
-            out,
-            columns=[
-                "user_id",
-                "session_id",
-                "session_start",
-                "session_end",
-                "n_events",
-                "total_value",
-            ],
-        )
-        pdf["session_start"] = pd.to_datetime(pdf["session_start"], unit="us")
-        pdf["session_end"] = pd.to_datetime(pdf["session_end"], unit="us")
-        yield pdf
+        yield finish(out)
 
     return fn
 
 
-def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
     """Per-user gap sessionization over a streaming DataFrame with
-    ``event_id``, ``ts`` (timestamp), ``user_id``, ``value`` columns."""
-    return events.groupBy("user_id").applyInPandasWithState(
+    ``event_id``, ``ts`` (timestamp), ``user_id``, ``value`` columns.
+
+    Event-time timeouts + state removal bound the state store to users
+    whose open session is still reachable by the watermark; idle users'
+    sessions close (final emission) and their state entry is deleted."""
+    return events.withWatermark("ts", watermark).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         _session_fn(gap_minutes * _US_PER_MINUTE),
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
