@@ -162,11 +162,15 @@ def tfidf_topk(
     deterministic tie-break (score desc, term asc).
 
     Scale: term frequencies are one hash-agg keyed ``(doc, token)``
-    (map-side combine absorbs repeated tokens before the shuffle); the
-    document-frequency relation is |vocab| rows — bounded and tiny
-    relative to the corpus — so it and the 1-row corpus count broadcast
-    back, costing no second data shuffle; the final per-doc top-k is a
-    window over the doc partitioning the tf agg already established.
+    (map-side combine absorbs repeated tokens before the shuffle). The
+    document-frequency relation is |vocab| rows — usually small, but on
+    a web-scale corpus the raw token vocabulary (URLs, hashes, noise)
+    grows with the data, so it carries NO forced broadcast hint: AQE
+    broadcasts it while it fits (no tf re-shuffle), and when it truly
+    outgrows memory the join falls back to re-keying tf by token —
+    slower but finishing, where a hinted broadcast would OOM. The 1-row
+    corpus count does hint. The final per-doc top-k is a window over
+    the doc partitioning the tf agg already established.
     """
     from pyspark.sql import Window
 
@@ -181,7 +185,7 @@ def tfidf_topk(
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .join(F.broadcast(n_docs))
         .select(
             id_col,

@@ -104,10 +104,15 @@ def test_sessionize_batch_single_shuffle(spark):
 
 
 def test_tfidf_broadcasts_df_and_count(spark):
-    # document-frequency (|vocab|) and the 1-row corpus count broadcast
-    # back onto the tf relation -- no token-keyed data shuffle for the
-    # join stage
-    plan = _plan(spark, "x75_tfidf_topk")
+    # document-frequency (|vocab|) carries no forced hint (it scales
+    # with a web corpus's raw vocabulary) — AQE must still pick the
+    # broadcast at this scale so no token-keyed re-shuffle of tf
+    # happens; the 1-row corpus count is a hinted nested-loop join.
+    # Execute first: the adaptive FINAL plan is what proves it.
+    df = all_queries()["x75_tfidf_topk"](spark, SF)
+    df.collect()  # the write path spawns its own QE; collect finalizes df's
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
     assert "SortMergeJoin" not in plan
