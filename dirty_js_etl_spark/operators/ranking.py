@@ -45,10 +45,21 @@ def _ranged(df: DataFrame, order_by: list, num_partitions: int | None) -> DataFr
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # range partitioner: partition ids ascend with the order key, so the
     # per-partition offset join below reconstructs the global order.
-    # Both consumers (local window + per-partition totals) share this
-    # exchange via ReuseExchange — the pid assignment is consistent.
-    return df.repartitionByRange(parts, *_as_cols(order_by)).withColumn(
-        _PID, F.spark_partition_id()
+    #
+    # persist() is CORRECTNESS here, not caching: the pid-stamped
+    # relation feeds two plan branches (local window + per-partition
+    # totals), and RangePartitioner samples its split points with an
+    # execution-dependent seed — if the branches each recompute the
+    # exchange (ReuseExchange is not guaranteed across AQE replans),
+    # they can see DIFFERENT partition layouts and the offsets no
+    # longer match the local ranks (observed as run-to-run flips at
+    # sf0.1). Materializing the pid assignment once makes both
+    # branches read the same layout. Rows are narrow projections of
+    # already-reduced relations; MEMORY_AND_DISK spills if not.
+    return (
+        df.repartitionByRange(parts, *_as_cols(order_by))
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
     )
 
 

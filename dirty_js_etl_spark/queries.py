@@ -1586,8 +1586,12 @@ WITH ordered AS (
   FROM events
 ), flagged AS (
   SELECT user_id, ts, value,
+         -- date_diff counts second-boundary crossings = whole(ts) -
+         -- whole(prev), exactly Spark's unix_timestamp subtraction;
+         -- fractional epoch() would disagree on sub-second straddles
          CASE WHEN prev_ts IS NULL
-                OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_s
+                OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_s
   FROM ordered
 ), numbered AS (
   SELECT user_id, ts, value,
@@ -2674,22 +2678,27 @@ def x60_curate_corpus(spark, sf_dir):
     """
 SELECT event_id, user_id, ts,
        round(avg(value) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)
-         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS mavg_1h
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS mavg_1h
 FROM events
 """,
 )
 def x61_moving_avg_range(spark, sf_dir):
     # time-range window frame (RANGE, not ROWS): the trailing-hour mean
     # per user -- per-key window, one hash shuffle on user_id, sort is
-    # partition-local; frames are value-ranges so ts gaps are handled
+    # partition-local; frames are value-ranges so ts gaps are handled.
+    # The range key is INTEGER MICROSECONDS on both engines
+    # (unix_micros / epoch_us): whole-second keys (unix_timestamp vs
+    # DuckDB's fractional epoch()) disagree on frame membership
+    # whenever same-user events straddle the boundary inside one
+    # second — invisible at sparse sf0.01, real at sf0.1 density.
     from pyspark.sql import Window
 
     events = _cat(spark, sf_dir).read("events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return events.select(
         "event_id",

@@ -6,11 +6,17 @@ an order-insensitive value hash (columns sorted by name, rows sorted,
 values stringified with float rounding). Not the driver's exact hash — a
 fast feedback loop with the same shape.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a machine-readable record per query
+(status, rows, error) — committed as ``CORRECTNESS_LOCAL_*.json`` so the
+full-registry verification (all queries, not just the driver's window)
+is on the record each round.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 import duckdb
@@ -40,8 +46,14 @@ def normalize(df_pandas):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    record: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
 
@@ -65,15 +77,18 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
+            record[name] = {"status": "fail", "err": f"spark: {e}"[:300]}
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(spark_pdf)} rows")
+            record[name] = {"status": "rows_only", "rows": len(spark_pdf)}
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failed.append(name)
+            record[name] = {"status": "fail", "err": f"duckdb: {e}"[:300]}
             continue
         problems = []
         if len(spark_pdf) != len(duck_pdf):
@@ -92,10 +107,26 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             failed.append(name)
+            record[name] = {"status": "fail", "err": "; ".join(problems)[:300]}
         else:
             print(f"OK   {name}: {len(spark_pdf)} rows")
+            record[name] = {"status": "ok", "rows": len(spark_pdf)}
 
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    if json_out:
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(record),
+            "n_ok": sum(1 for r in record.values() if r["status"] == "ok"),
+            "n_rows_only": sum(
+                1 for r in record.values() if r["status"] == "rows_only"
+            ),
+            "n_fail": len(failed),
+            "queries": record,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
