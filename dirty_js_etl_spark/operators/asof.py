@@ -38,6 +38,7 @@ def asof_join(
     right_time: str,
     payload_cols: list[str] | None = None,
     direction: str = "backward",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """As-of join: left rows gain the payload of the nearest right row at
     or before (``direction="backward"``, the default) or at or after
@@ -47,6 +48,14 @@ def asof_join(
 
     ``payload_cols`` defaults to every right column except the key and
     time columns. Left columns all pass through unchanged.
+
+    ``tiebreak_cols``: right-side columns that deterministically resolve
+    ties between right rows sharing the same ``(on, right_time)`` — the
+    row with the SMALLEST tiebreak tuple wins, matching the SQL spelling
+    ``ORDER BY ts[, ts DESC for backward], id LIMIT 1``. Without it, two
+    equal-timestamp right rows make the running fill pick an arbitrary
+    one (whichever the shuffle happened to order last). The columns ride
+    the union only for window ordering and are dropped from the output.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -55,13 +64,20 @@ def asof_join(
     clash = set(payload_cols) & set(left.columns)
     if clash:
         raise ValueError(f"payload columns clash with left columns: {sorted(clash)}")
+    r_types = dict(right.dtypes)
+    tbs = list(tiebreak_cols or [])
+    missing_tb = [c for c in tbs if c not in r_types]
+    if missing_tb:
+        raise ValueError(f"tiebreak columns not in right: {missing_tb}")
+    tb_alias = {c: f"__asof_tb{i}" for i, c in enumerate(tbs)}
 
     l_side = left.select(
         F.col(on),
         F.col(left_time).alias(_TIME),
         F.lit(0).alias(_SIDE),
         *[F.col(c) for c in left.columns if c != on],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+        *[F.lit(None).cast(r_types[c]).alias(c) for c in payload_cols],
+        *[F.lit(None).cast(r_types[c]).alias(tb_alias[c]) for c in tbs],
     )
     r_side = right.select(
         F.col(on),
@@ -73,12 +89,23 @@ def asof_join(
             if c != on
         ],
         *[F.col(c) for c in payload_cols],
+        *[F.col(c).alias(tb_alias[c]) for c in tbs],
     )
 
     t_order = F.col(_TIME).asc() if direction == "backward" else F.col(_TIME).desc()
+    # tiebreaks DESCENDING in both directions: the running fill takes the
+    # LAST non-null row at-or-before the current one, so sorting equal-
+    # (time, side) right rows by tiebreak desc puts the smallest tuple
+    # last — it wins, exactly like ``ORDER BY ..., id LIMIT 1``. Left
+    # rows carry NULL tiebreaks (desc → nulls last) but already sort
+    # after right rows via the side column, so their order is unaffected.
     w = (
         Window.partitionBy(on)
-        .orderBy(t_order, F.col(_SIDE).desc())
+        .orderBy(
+            t_order,
+            F.col(_SIDE).desc(),
+            *[F.col(tb_alias[c]).desc() for c in tbs],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_side.unionByName(r_side).select(

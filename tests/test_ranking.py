@@ -83,6 +83,13 @@ def test_plan_has_no_data_sized_global_window(keyed):
     # Aggregate, never the data itself
     got = with_global_prefix_sum(keyed, ["k", "id"], "v", "ps", num_partitions=13)
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
-    # the data-side window partitions on the pid column
+    # the range exchange runs inside the eager localCheckpoint job
+    # (operators/ranking._ranged), so downstream the frozen layout
+    # surfaces as a checkpointed-RDD scan; the data-side window
+    # partitions on the pid column stamped there
+    assert "existingrdd" in plan.lower()
     assert "__gord_pid" in plan
+    # and the checkpointed source really is the 13-way range layout
+    from dirty_js_etl_spark.operators.ranking import _ranged
+
+    assert _ranged(keyed, ["k", "id"], 13).rdd.getNumPartitions() == 13
