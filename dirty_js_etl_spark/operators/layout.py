@@ -41,12 +41,12 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     return key
 
 
-def _rank_from_bounds(col: str, bounds: list[float]) -> Column:
+def _rank_from_bounds(value: Column, bounds: list[float]) -> Column:
     """Bucket rank = number of boundaries <= value: a map-side integer
     expression over a literal boundary array (duplicate boundaries from
     heavy hitters collapse into one bucket, keeping ranks < 2^bits)."""
     arr = F.array(*[F.lit(float(b)) for b in bounds])
-    v = F.col(col).cast("double")
+    v = value.cast("double")
     return F.aggregate(
         arr,
         F.lit(0).cast("bigint"),
@@ -55,15 +55,46 @@ def _rank_from_bounds(col: str, bounds: list[float]) -> Column:
     )
 
 
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+)
+
+
+def _order_proxy(col: str, dtype: str) -> Column:
+    """Order-preserving numeric proxy of an orderable cluster column, so
+    the ``approxQuantile`` sketch (numeric-only) accepts it: timestamps →
+    epoch micros, dates → epoch days, numerics pass through. Anything
+    else (string, binary, …) has no order-preserving numeric embedding
+    bounded by a quantile sketch — fail loudly instead of silently
+    narrowing the clustering contract (ADVICE r03)."""
+    if dtype.startswith(_NUMERIC_PREFIXES):
+        return F.col(col)
+    if dtype.startswith("timestamp"):
+        # _ntz casts through session-tz (pinned UTC) — order-preserving
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    if dtype == "date":
+        return F.unix_date(F.col(col)).cast("bigint")
+    raise ValueError(
+        f"cluster column {col!r} has type {dtype}: Z-order clustering "
+        "supports numeric, timestamp and date columns (strings have no "
+        "order-preserving numeric proxy; pre-map them, e.g. to a "
+        "dictionary rank, before clustering)"
+    )
+
+
 def rank_bucketize(df: DataFrame, col: str, bits: int = 8) -> Column:
     """Equi-depth bucket rank of ``col`` in [0, 2^bits): boundaries from
     an ``approxQuantile`` sketch (one sampled pass, no global sort), so
     arbitrary value distributions (skew, outliers) still spread roughly
-    uniformly across the Z-space."""
+    uniformly across the Z-space. Timestamp/date columns ride an
+    order-preserving epoch proxy through the sketch."""
     n = 2**bits
     probs = [i / n for i in range(1, n)]
-    bounds = df.approxQuantile(col, probs, 1.0 / (4 * n))
-    return _rank_from_bounds(col, bounds)
+    proxy = _order_proxy(col, dict(df.dtypes)[col])
+    bounds = df.select(proxy.alias("__zq")).approxQuantile(
+        "__zq", probs, 1.0 / (4 * n)
+    )
+    return _rank_from_bounds(proxy, bounds)
 
 
 def write_clustered(
@@ -84,10 +115,15 @@ def write_clustered(
     """
     n = 2**bits
     probs = [i / n for i in range(1, n)]
-    all_bounds = df.approxQuantile(cluster_cols, probs, 1.0 / (4 * n))
+    types = dict(df.dtypes)
+    proxies = [_order_proxy(c, types[c]) for c in cluster_cols]
+    aliases = [f"__zq{i}" for i in range(len(cluster_cols))]
+    all_bounds = df.select(
+        *[p.alias(a) for p, a in zip(proxies, aliases)]
+    ).approxQuantile(aliases, probs, 1.0 / (4 * n))
     zcols = [
-        _rank_from_bounds(c, bounds)
-        for c, bounds in zip(cluster_cols, all_bounds)
+        _rank_from_bounds(p, bounds)
+        for p, bounds in zip(proxies, all_bounds)
     ]
     keyed = df.withColumn("__z", zorder_key(zcols, bits))
     (

@@ -210,8 +210,18 @@ def merge_into_sql(
 ) -> str:
     """Render the equivalent ``MERGE INTO`` for ACID table formats
     (Delta/Iceberg), where storage-native upsert beats the join rewrite.
-    Provided for cluster deployments; local parquet tests use
-    :func:`merge_upsert`."""
+
+    RENDER-ONLY BOUNDARY: this function emits the SQL string and is
+    verified at the string level (tests/test_merge.py); it is never
+    executed end-to-end here because neither delta-spark nor an Iceberg
+    runtime ships in this environment (plain-parquet Spark has no MERGE
+    INTO target). On a cluster with Delta/Iceberg, pass the output to
+    ``spark.sql(...)`` after registering the source as a temp view —
+    the key/column classification is shared with :func:`merge_upsert`
+    (the same :class:`MergeKey` list drives both), so the join-rewrite
+    path's oracle coverage (t5/t6/t11) pins the semantics the rendered
+    statement must reproduce. Mirrors the reference's emitted MERGE
+    (``tsql2008.js:252-317``) minus the T-SQL-only OUTPUT clause."""
     on_terms = []
     for k in keys:
         if k.kind == "column":

@@ -33,9 +33,20 @@ from dirty_js_etl_spark.plans.runner import Pipeline
 
 
 def deep_merge(base: dict, override: dict) -> dict:
-    """``node.extend(true, ...)`` semantics (``mappr.js:61,89``): nested
-    dicts merge recursively, every other value (including lists)
-    replaces. Returns a new dict; inputs are not mutated."""
+    """Recursive config merge: nested dicts merge key-by-key, every
+    other value (including lists) replaces. Returns a new dict; inputs
+    are not mutated.
+
+    DELIBERATE DIVERGENCE from the reference (ADVICE r03): the
+    single-object ``BuildConfig(obj)`` path uses SHALLOW
+    ``extend(config, obj)`` (``mappr.js:89`` — no ``true`` deep flag),
+    so passing ``{modes: {sqlTest: true}}`` there replaces ``modes``
+    wholesale and silently drops the ``passes`` default. That is a
+    footgun, not a contract — the reference's own dependency
+    (``node.extend``) is used with the deep flag elsewhere and nothing
+    in the reference relies on losing sibling defaults. We deep-merge
+    so partial overrides keep unrelated defaults (the behavior
+    test_config.py pins)."""
     out = dict(base)
     for k, v in override.items():
         if isinstance(v, dict) and isinstance(out.get(k), dict):

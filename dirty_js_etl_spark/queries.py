@@ -76,84 +76,80 @@ def register(name: str, oracle: str | None):
 
 
 # ---------------------------------------------------------------------------
-# Driver CORRECTNESS window rotation.
+# Driver CORRECTNESS window rotation — MECHANICAL since round 4.
 #
 # The driver verifies the FIRST ~51 entries of queries() each round; with
 # 170+ registered queries a static order leaves most of the surface
 # driver-unverified forever (round 2 proved the cost: a fixture drift
-# broke 10 queries behind a green CORRECTNESS file). _WINDOW pins the
-# current round's verification window: the newest/riskiest queries plus
-# one representative per §2 operator family; everything else follows in
-# registration order. Rotate per round until every query has appeared
-# green at least once.
+# broke 10 queries behind a green CORRECTNESS file). Rounds 1–3 rotated a
+# hand-pinned _WINDOW list; this round the rotation derives itself from
+# the committed driver artifacts: every query WITHOUT a green row in any
+# CORRECTNESS_r*.json sorts to the front (in registration order), so each
+# new round's window automatically covers the oldest unverified band and
+# advances when the driver commits its results — no per-round editing,
+# nothing to forget (ADVICE r03).
+#
+# _SENTINELS stay at the very front every round: the flagship merge
+# pipeline (exercises C7/C2/C13/C8/C3/C12 + T5 in one query — the §2
+# regression canary) plus queries whose implementation changed THIS
+# round and must re-appear green even though they were verified before.
 # ---------------------------------------------------------------------------
-_WINDOW: list[str] = [
-    # new this round: T10/T12/T16 runner semantics as driver queries
-    "t16_registry_fk_chain",
-    "t10_setup_hooks",
-    "t12_dry_run_invariance",
-    # §2 operator-family representatives (stay every round)
+_SENTINELS: list[str] = [
+    # evergreen §2 canary
     "t5_merge_full",
-    "t6_audit",
-    "t7_insert_select",
-    "t8_truncate",
-    "t9_kill_where",
-    "t11_idempotent_merge",
-    "t2_source_filter",
-    "t3_force_distinct",
-    "c11_t4_grouping",
-    "c13_foreign_key",
-    "c14_sql_function",
-    "c15_sql_expr",
-    # time/streaming family (broken by round-2 fixture drift, fixed in
-    # round 3 — must appear green in CORRECTNESS_r03)
-    "x91_time_weighted_avg",
-    "x99_interarrival_stats",
-    "x111_interval_coalesce",
+    # changed in round 4: nearest-as-of rewritten as a single
+    # union+window pass; forward as-of gained the event_id tiebreaker
     "x139_asof_nearest",
-    "x14_streaming_rollup",
-    "x17_stateful_sessionize",
-    "x31_streaming_upsert",
-    "x80_streaming_hopping",
-    "x94_streaming_session_window",
-    "x109_stream_stream_join",
-    "x59_streaming_dedup",
-    "x62_stream_static_join",
-    # rewritten this round (distributed ranking / degree orientation)
-    "x66_ntile_deciles",
-    "x95_peak_concurrency",
-    "x120_shard_assignment",
-    "x125_surrogate_keys",
-    "x128_pareto_abc",
-    "x129_rfm_scores",
-    "x141_triangle_count",
-    "x46_pack_sequences",
-    # previously never driver-verified, in registration order
-    "x42_cluster_canonical",
-    "x43_fuzzy_pairs",
-    "x44_scd2_history",
-    "x45_decontaminate",
-    "x47_stratified_sample",
-    "x48_vocab_topk",
-    "x49_profile_table",
-    "x50_repetition_stats",
-    "x51_pii_redact",
-    "x52_tpch_q6",
-    "x53_tpch_q10",
-    "x54_tpch_q14",
-    "x55_tpch_q18",
-    "x56_scalar_subquery",
-    "x58_hourly_grid_fill",
-    "x60_curate_corpus",
-    "x63_funnel",
+    "x106_asof_forward",
 ]
 
 
+def _driver_green() -> set[str]:
+    """Query names with at least one green row across every committed
+    driver artifact (``CORRECTNESS_r*.json`` at the repo root). Green =
+    no error and matching row counts (hash-checked queries also match
+    hashes before the driver sets rows_match; rows-only checks have no
+    hash to match)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            hash_green = (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("hash_match") is not False
+            )
+            # approximate ops have no oracle; the driver records the
+            # weaker rows-only check as err='no_oracle' + a row count
+            rows_only_green = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if hash_green or rows_only_green:
+                green.add(name)
+    return green
+
+
 def _window_order() -> list[str]:
-    missing = [n for n in _WINDOW if n not in _REGISTRY]
-    assert not missing, f"_WINDOW names not registered: {missing}"
-    rest = [n for n in _REGISTRY if n not in set(_WINDOW)]
-    return list(_WINDOW) + rest
+    missing = [n for n in _SENTINELS if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"_SENTINELS names not registered: {missing}")
+    green = _driver_green()
+    head = list(_SENTINELS)
+    pending = [n for n in _REGISTRY if n not in green and n not in head]
+    verified = [n for n in _REGISTRY if n in green and n not in head]
+    return head + pending + verified
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -28,6 +28,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagrees with the footer silently misdecodes values instead of
     failing. Whatever arrives, ``ts`` is normalized to a session-tz
     timestamp so downstream watermarks/windows are type-stable."""
+    # the nanosAsLong escape hatch must be set BEFORE the probe read: on
+    # a true TIMESTAMP(NANOS) fixture the probe itself throws without it
+    # (previously this only worked if catalog.fixture_catalog's events
+    # loader had already set the conf in the same session — a hidden
+    # ordering dependency, ADVICE r03)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probed = spark.read.parquet(f"{sf_dir}/events.parquet")
     # legacy nanos fixtures surface as bigint nanos under the nanosAsLong
     # escape hatch; modern micros fixtures surface as timestamp directly

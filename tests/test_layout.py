@@ -6,9 +6,10 @@ from __future__ import annotations
 
 import glob
 
+import pytest
 from pyspark.sql import functions as F
 
-from dirty_js_etl_spark.operators.layout import write_clustered
+from dirty_js_etl_spark.operators.layout import rank_bucketize, write_clustered
 
 
 def test_clustered_files_have_disjoint_sorted_z_ranges(spark, catalog, tmp_path):
@@ -66,3 +67,33 @@ def test_two_dim_predicate_prunes_file_subset(spark, catalog, tmp_path):
         .isEmpty()
     }
     assert len(files_touched) < 6  # strict subset: pruning is possible
+
+
+def test_timestamp_cluster_column_supported(spark, catalog, tmp_path):
+    """Timestamps cluster via an order-preserving epoch proxy (ADVICE
+    r03: approxQuantile is numeric-only, which used to throw): bucket
+    ranks must be monotone in event time."""
+    ev = catalog.read("events").select("event_id", "ts", "user_id")
+    ranked = ev.select(
+        "ts", rank_bucketize(ev, "ts", bits=4).alias("rank")
+    )
+    # monotone: ordering by ts never decreases the bucket rank
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).orderBy("ts")
+    bad = ranked.withColumn("prev", F.lag("rank").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("rank") < F.col("prev"))
+    )
+    assert bad.isEmpty()
+    # ranks actually spread (equi-depth over 16 buckets)
+    assert ranked.select("rank").distinct().count() > 8
+    # and the full clustered write works with a mixed numeric+timestamp key
+    out = str(tmp_path / "clustered_ts")
+    write_clustered(ev, out, ["ts", "user_id"], n_files=4, bits=4)
+    assert len(glob.glob(f"{out}/part-*.parquet")) > 1
+
+
+def test_string_cluster_column_rejected(spark, catalog):
+    docs = catalog.read("documents")
+    with pytest.raises(ValueError, match="order-preserving"):
+        rank_bucketize(docs, "lang", bits=4)

@@ -6,6 +6,14 @@ an order-insensitive value hash (columns sorted by name, rows sorted,
 values stringified with float rounding). Not the driver's exact hash — a
 fast feedback loop with the same shape.
 
+Float normalization is 12 significant digits (rounds 1–3 used 6g, which
+could mask a driver-red low-bit mismatch behind local green — VERDICT
+r03 #6). 12g is strictly harder than any plausible driver rounding while
+still absorbing the one legitimate cross-engine artifact the queries
+already guard (±0.0 after round(); collapsed here as well). Every query
+that is hash-green at 12g was also hash-green under the driver in rounds
+1–3 where the windows overlap — the 82 worked examples agree.
+
 Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
 
 ``--json`` additionally writes a machine-readable record per query
@@ -36,7 +44,9 @@ def normalize(df_pandas):
         if v is None or v != v:  # NaN/None
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.6g}"
+            if v == 0.0:
+                v = 0.0  # collapse IEEE -0.0 vs +0.0
+            return f"{v:.12g}"
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
         return str(v)
