@@ -38,3 +38,33 @@ def test_every_query_has_callable_and_name_parity():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_window_rotation_is_mechanical():
+    """The driver-verification window derives itself from the committed
+    CORRECTNESS_r*.json artifacts: sentinels lead, never-driver-green
+    queries come next (registration order), already-green queries trail.
+    Guards the round-4 rotation contract (ADVICE r03: rotation must not
+    depend on per-round manual edits)."""
+    from dirty_js_etl_spark.queries import (
+        _SENTINELS,
+        _driver_green,
+        _window_order,
+    )
+
+    order = _window_order()
+    assert order[: len(_SENTINELS)] == _SENTINELS
+    assert sorted(order) == sorted(_REGISTRY)  # a permutation, no loss
+    green = _driver_green()
+    tail = order[len(_SENTINELS):]
+    # once the first already-green name appears, everything after it is
+    # also already-green: pending queries strictly precede verified ones
+    seen_green = False
+    for n in tail:
+        if n in green:
+            seen_green = True
+        else:
+            assert not seen_green, f"pending {n!r} sorted after green names"
+    # rows 1-3 artifacts are committed, so the green set is non-trivial
+    # and some never-verified queries exist to rotate in
+    assert green and any(n not in green for n in _REGISTRY)
