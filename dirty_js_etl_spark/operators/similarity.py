@@ -485,3 +485,77 @@ def kmeans_inertia(assigned: DataFrame, vec_col: str, centroids) -> float:
         .agg(F.sum("d"))
         .first()[0]
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into cells, then prune
+    within-cell cosine near-duplicates, keeping one representative per
+    duplicate neighborhood.
+
+    Returns one row per input: ``(id, cell, kept)``.
+
+    Divergence from the paper, documented: the representative is the
+    *smallest id* in a duplicate pair, not the member closest to the
+    centroid — an id-keyed rule is deterministic under any partitioning
+    and needs no second centroid-distance pass. A row is dropped iff
+    some smaller-id row in its cell is within ``threshold`` cosine of
+    it (the partition-parallel relaxation of greedy keep-first; the
+    exact sequential greedy is order-dependent and inherently serial —
+    same relaxation trade-off as x42's connected-component canonical).
+
+    Scale: cell assignment is a map-only argmax over centroid literals
+    (corpus never shuffles to be assigned); candidate pairs are bounded
+    to within-cell (the SemDeDup point: O(n²) → Σ O(|cell|²)); the
+    self-join shuffles both sides on ``cell`` — at 100 TB, raise
+    ``n_centroids`` so cells stay executor-sized (the paper runs 50k
+    cells for 5B docs) and the trainer stays driver-bounded
+    (sample-based, cf. train_ivf_centroids). Anti-join back to the full
+    set is a shuffle on the (unique, uniform) id.
+    """
+    centroids = train_ivf_centroids(
+        df, n_centroids=n_centroids, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("n", l2_norm(F.col("v")))
+    dots = F.array(*_centroid_dots(F.col("v"), centroids))
+    # spherical assignment: argmax dot == argmax cosine (norms factor out)
+    cells = base.withColumn(
+        "cell", (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    )
+    l, r = cells.alias("l"), cells.alias("r")
+    dropped = (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot(F.col("l.v"), F.col("r.v"))
+                / (F.col("l.n") * F.col("r.n")),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("r.id").alias("id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped.withColumn("__drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -1,0 +1,219 @@
+"""Mergeable set/frequency sketches built from plain DataFrame
+aggregations (north-star extensions — the reference,
+`bruslim/dirty-js-etl`, is relational-only per SURVEY.md §2.3; nearest
+concept is its generation-time ``StaticHash`` digest, mappr.js:236-246).
+
+Two sketches a 100 TB corpus pipeline leans on when exact joins stop
+being affordable:
+
+- **Bloom filter** (Bloom, CACM 1970): compress a membership set (an
+  eval-set blocklist, a seen-URL registry) to ``m`` bits, then screen
+  the corpus with a *map-only* expression — no join, no shuffle on the
+  corpus side at any scale. The build is one narrow aggregation
+  (``k`` positions per key → bitwise-OR per 64-bit word) whose output
+  is bounded by ``m/64`` longs regardless of member count, so the
+  filter itself always broadcasts.
+- **Count-min sketch** (Cormode & Muthukrishnan, J.Alg 2005): a
+  ``depth × width`` counter grid supporting point frequency estimates
+  with one-sided (over-count only) error. The grid is built in one
+  hash-aggregation pass and is mergeable across shards/days by cell-wise
+  addition — the same rollup shape as the two-level HLL merge (x144).
+  Buckets are derived from md5 hex (same trick as
+  ``splits.hash_bucket``) so an external engine — or the DuckDB oracle —
+  reproduces the sketch *bit-for-bit*, making this the one sketch family
+  member with a hash-checked oracle rather than an error-bound test.
+
+Scale design: nothing here ever collects to the driver. The Bloom build
+densifies its word table with an in-plan map lookup over a bounded
+``collect_list`` (≤ m/64 entries in one row — same bounded-reduce
+pattern as the k-means centroid table, similarity.py); membership tests
+and bucket assignments are pure projections inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(key: Column, j: Column, m_bits: int) -> Column:
+    """Bit position of hash ``j`` for ``key``: pmod(xxhash64(key, j), m)."""
+    return F.pmod(F.xxhash64(key, j), F.lit(m_bits))
+
+
+def _mask(bit: Column) -> Column:
+    """Single-bit long mask for bit index 0–63 (PySpark's shiftleft takes
+    only a Python-int shift, so dynamic shifts go through an element_at
+    over 64 plan literals — still whole-stage codegen). Bit 63 is the
+    sign bit; its mask is the most-negative long."""
+    masks = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    return F.element_at(masks, bit.cast("int") + 1)
+
+
+def bloom_build(
+    members: DataFrame, key: Column, m_bits: int = 1 << 17, k: int = 5
+) -> DataFrame:
+    """Build an ``m_bits``-bit Bloom filter over ``key`` as a ONE-row
+    DataFrame ``{bloom_words: array<long>}`` (``m_bits/64`` words).
+
+    Distributed end-to-end: explode ``k`` hash positions per member,
+    bitwise-OR the per-word masks (map-side partial agg makes the
+    shuffle ≤ ``m/64`` rows per partition), then densify sparse words
+    into the fixed-length array with an in-plan ``sequence`` → map
+    lookup. The result is bounded by construction (``m/64`` longs —
+    128 KiB at m=2^20), so callers always ``F.broadcast`` it and screen
+    with :func:`bloom_contains` as a map-only filter — the whole point
+    of the sketch at 100 TB: membership pruning with zero corpus
+    shuffle, vs. the broadcast anti-join (x146) whose blocklist side
+    grows with member count.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    n_words = m_bits // 64
+    pos = _bloom_pos(F.col("__k"), F.col("__j"), m_bits)
+    sparse = (
+        members.select(key.alias("__k"))
+        .select(
+            "__k",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__j"),
+        )
+        .select(
+            F.shiftright(pos, 6).cast("int").alias("w"),
+            _mask(pos % 64).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+    return (
+        sparse.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "word"))
+            ).alias("mp")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("mp"), i), F.lit(0).cast("long")
+                ),
+            ).alias("bloom_words")
+        )
+    )
+
+
+def bloom_contains(
+    key: Column, words: Column, m_bits: int = 1 << 17, k: int = 5
+) -> Column:
+    """Boolean membership test against :func:`bloom_build`'s word array.
+
+    Pure projection (k hash+mask probes ANDed) — no join. False
+    positives at the standard ``(1-e^{-kn/m})^k`` rate; never false
+    negatives: every inserted key tests true.
+    """
+    checks = []
+    for j in range(k):
+        pos = _bloom_pos(key, F.lit(j), m_bits)
+        word = F.element_at(words, F.shiftright(pos, 6).cast("int") + 1)
+        checks.append(word.bitwiseAND(_mask(pos % 64)) != 0)
+    return reduce(lambda a, b: a & b, checks)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (engine-portable buckets -> exact-oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def cms_bucket(key: Column, row: Column, width: int) -> Column:
+    """CMS bucket for hash row ``row``: first 8 hex digits of
+    ``md5('<row>:<key>')`` mod ``width`` — the same engine-portable md5
+    spelling as ``splits.hash_bucket`` (DuckDB:
+    ``CAST('0x' || substring(md5(j || ':' || key), 1, 8) AS BIGINT) %
+    width``), so external systems reproduce the grid exactly."""
+    hex8 = F.substring(
+        F.md5(F.concat_ws(":", row.cast("string"), key.cast("string"))), 1, 8
+    )
+    return F.conv(hex8, 16, 10).cast("bigint") % width
+
+
+def cms_sketch(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 1 << 10,
+) -> DataFrame:
+    """Fold a ``(key, count)`` table into a CMS grid:
+    ``(row, bucket, bucket_count)``, at most ``depth × width`` rows.
+
+    One explode (``depth`` rows per key) + one hash aggregation; the
+    map-side partial agg collapses each partition to ≤ depth×width rows
+    before the shuffle, so the build cost is a single narrow pass no
+    matter the corpus size. Grids from different shards/days merge by
+    summing cell-wise (same ``(row, bucket)`` key) — the mergeability
+    that makes this the streaming/rollup-friendly frequency sketch.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    return (
+        counts.select(
+            F.col(key_col).alias("__k"), F.col(count_col).alias("__c")
+        )
+        .select("__k", "__c", rows)
+        .select(
+            "row",
+            cms_bucket(F.col("__k"), F.col("row"), width).alias("bucket"),
+            "__c",
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("__c").alias("bucket_count"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1 << 10,
+) -> DataFrame:
+    """Point frequency estimates ``(key, est_count)`` for every row of
+    ``keys``: ``min`` over the ``depth`` bucket counters (the CMS upper
+    bound — est >= true count always, = with no collisions).
+
+    The sketch is ≤ depth×width rows — broadcast unconditionally; the
+    probe side explodes ``depth`` rows per key, joins the broadcast
+    grid, and min-reduces per key: one shuffle on the (uniform) key.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    probes = (
+        keys.select(F.col(key_col).alias("__k"))
+        .select("__k", rows)
+        .select(
+            "__k",
+            "row",
+            cms_bucket(F.col("__k"), F.col("row"), width).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("__k")
+        # an empty bucket (left-join miss) is a 0 counter, and one empty
+        # bucket pins the min — unseen keys estimate 0, not "no row"
+        .agg(
+            F.min(
+                F.coalesce("bucket_count", F.lit(0).cast("long"))
+            ).alias("est_count")
+        )
+        .select(F.col("__k").alias(key_col), "est_count")
+    )

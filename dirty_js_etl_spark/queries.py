@@ -6343,3 +6343,119 @@ def x146_blocklist_filter(spark, sf_dir):
         )
         .select("doc_id", "lang")
     )
+
+
+@register("x147_bloom_decontaminate", None)  # Bloom FPs hinge on xxhash64,
+# which the oracle engine lacks -> rows-only + pytest vs the exact
+# anti-join (zero false negatives, FP-rate bound): tests/test_sketch.py
+def x147_bloom_decontaminate(spark, sf_dir):
+    # Membership screening with ZERO corpus-side join: the blocklist
+    # (docs with doc_id % 20 == 0, the same eval set as x146) folds to
+    # an m-bit Bloom filter -- one narrow aggregation bounded at m/64
+    # longs -- and the training side drops members with a map-only
+    # k-probe bit test.  x146's broadcast anti-join is the exact
+    # spelling; this is what replaces it when the blocklist outgrows
+    # broadcast (a billion seen-URL fingerprints still fits in a
+    # 1.4 GiB bloom at 10 bits/key) -- membership pruning whose cost
+    # is independent of member count.  FP side-effect: a non-member
+    # doc can be dropped at (1-e^{-kn/m})^k; with m=2^15, k=5 and the
+    # fixture's n<=500 members the expected FP count is < 1e-8 rows.
+    from dirty_js_etl_spark.operators.sketch import (
+        bloom_build,
+        bloom_contains,
+    )
+    from dirty_js_etl_spark.operators.text import fingerprint_md5
+
+    m_bits, k = 1 << 15, 5
+    docs = _cat(spark, sf_dir).read("documents")
+    fp = fingerprint_md5(F.col("text"))
+    bloom = bloom_build(
+        docs.filter(F.col("doc_id") % 20 == 0).select(fp.alias("fp")),
+        F.col("fp"),
+        m_bits=m_bits,
+        k=k,
+    )
+    return (
+        docs.filter(F.col("doc_id") % 20 != 0)
+        .crossJoin(F.broadcast(bloom))  # 1-row filter table: scalar attach
+        .filter(~bloom_contains(fp, F.col("bloom_words"), m_bits, k))
+        .select("doc_id", "lang")
+    )
+
+
+@register("x148_semantic_dedup", None)  # cell assignment rides the
+# sampled spherical k-means trainer (float argmax) -> rows-only +
+# pytest invariants vs exact near-dup pairs: tests/test_sketch.py
+def x148_semantic_dedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): embedding-space near-duplicate
+    # pruning made scalable by clustering first -- candidate pairs are
+    # confined to within-cell, so the O(n^2) exact screen (x9) becomes
+    # sum over cells of O(|cell|^2) and each cell's self-join is an
+    # ordinary cell-keyed shuffle.  Output: every embedding row with
+    # its cell and a deterministic kept/dropped verdict.
+    from dirty_js_etl_spark.operators.similarity import semantic_dedup
+
+    emb = _cat(spark, sf_dir).read("embeddings")
+    return semantic_dedup(
+        emb, threshold=0.97, n_centroids=8, id_col="vec_id",
+        vec_col="embedding",
+    )
+
+
+@register(
+    "x149_cms_heavy_hitters",
+    f"""
+WITH tok AS (
+  SELECT UNNEST(string_split({_NORM_SQL}, ' ')) AS token FROM documents
+), cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c
+  FROM tok WHERE length(token) > 0 GROUP BY token
+), hrows AS (SELECT * FROM (VALUES (0),(1),(2),(3)) r(j)),
+buck AS (
+  SELECT r.j,
+         CAST('0x' || substring(
+                md5(CAST(r.j AS VARCHAR) || ':' || c.token), 1, 8)
+              AS BIGINT) % 16 AS b,
+         c.token, c.c
+  FROM cnt c CROSS JOIN hrows r
+), sketch AS (
+  SELECT j, b, CAST(sum(c) AS BIGINT) AS s FROM buck GROUP BY j, b
+), est AS (
+  SELECT bu.token, min(sk.s) AS est_count
+  FROM buck bu JOIN sketch sk ON bu.j = sk.j AND bu.b = sk.b
+  GROUP BY bu.token
+)
+SELECT token, CAST(est_count AS BIGINT) AS est_count
+FROM est WHERE est_count >= 50
+""",
+)
+def x149_cms_heavy_hitters(spark, sf_dir):
+    # Count-min-sketch heavy hitters: build a 4x16 counter grid over
+    # token frequencies in one hash-agg pass, then read every distinct
+    # token's one-sided estimate back off the broadcast grid (min over
+    # the 4 rows) and keep est >= 50.  The deliberately tiny width
+    # forces real collisions, so estimates OVERSHOOT exact counts for
+    # colliding tokens -- and the DuckDB oracle reproduces the exact
+    # same grid because buckets come from md5 hex (cms_bucket ==
+    # hash_bucket's portable spelling), making this the sketch-family
+    # query whose approximation error is itself hash-checked rather
+    # than bound-tested.  Scale: grid build is one narrow pass with
+    # map-side partial agg (<= depth*width rows shipped per
+    # partition); the probe join broadcasts the grid (always <=
+    # depth*width rows); mergeable across shards by cell-wise sum.
+    from dirty_js_etl_spark.operators.sketch import cms_estimate, cms_sketch
+    from dirty_js_etl_spark.operators.text import tokens
+
+    depth, width = 4, 16
+    docs = _cat(spark, sf_dir).read("documents")
+    cnt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sk = cms_sketch(cnt, "token", "c", depth=depth, width=width)
+    est = cms_estimate(
+        cnt.select("token"), sk, "token", depth=depth, width=width
+    )
+    return est.filter(F.col("est_count") >= 50)

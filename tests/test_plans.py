@@ -211,3 +211,22 @@ def test_winsorize_bounds_broadcast_not_shuffle(spark):
     # (once for bounds, once clipped) but never sort-merge joins
     plan = _plan(spark, "x93_winsorized_mean")
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_screen_is_joinless_on_the_corpus_side(spark):
+    # the whole point of the Bloom screen vs x146's anti-join: the
+    # corpus is filtered by a 1-row broadcast probe (BNLJ against the
+    # bounded m/64-word array), never a corpus-keyed join — the only
+    # exchanges in the plan belong to the filter BUILD (<= m/64 rows)
+    plan = _plan(spark, "x147_bloom_decontaminate")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cms_grid_always_broadcasts(spark):
+    # the sketch grid is bounded at depth*width rows by construction —
+    # the probe join must be a broadcast hash join, and the only
+    # corpus-keyed shuffles are the two token aggregations
+    plan = _plan(spark, "x149_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
