@@ -554,3 +554,41 @@ def cluster_canonical(
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Daily-ingest dedup: keep only new-batch docs that are exact
+    duplicates of NEITHER the already-curated corpus NOR an earlier
+    (smaller-id) doc in the same batch. Returns ``(id, fp)``.
+
+    This is the incremental complement of :func:`exact_dedup` — a
+    pipeline never re-deduplicates 100 TB of history to admit a day's
+    ingest; it screens the delta against the corpus fingerprint set.
+
+    Scale: both relations project to narrow ``(id?, fp)`` rows before
+    touching a shuffle (column-pruned scans). The within-batch winner
+    is an fp-keyed window; the corpus screen is a plain shuffle
+    LEFT ANTI on fp — deliberately NO broadcast hint, because both
+    sides are data-scaled (the corpus always, the batch on heavy
+    ingest days); AQE chooses a runtime broadcast when the batch is
+    actually small. In storage terms the corpus side reads one
+    column; with the fingerprint persisted as a corpus column (the
+    exact_dedup output schema), the scan is index-shaped.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    new_fp = new_batch.select(F.col(id_col), fp.alias("fp"))
+    corpus_fp = corpus.select(fp.alias("fp")).distinct()
+    w = Window.partitionBy("fp").orderBy(id_col)
+    first_in_batch = (
+        new_fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return first_in_batch.join(corpus_fp, "fp", "left_anti").select(
+        id_col, "fp"
+    )

@@ -6459,3 +6459,79 @@ def x149_cms_heavy_hitters(spark, sf_dir):
         cnt.select("token"), sk, "token", depth=depth, width=width
     )
     return est.filter(F.col("est_count") >= 50)
+
+
+@register(
+    "x150_streaming_cms",
+    """
+WITH cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type
+), hrows AS (SELECT * FROM (VALUES (0),(1),(2),(3)) r(j)),
+buck AS (
+  SELECT r.j,
+         CAST('0x' || substring(
+                md5(CAST(r.j AS VARCHAR) || ':' || c.event_type), 1, 8)
+              AS BIGINT) % 8 AS b,
+         c.event_type, c.c
+  FROM cnt c CROSS JOIN hrows r
+), sketch AS (
+  SELECT j, b, CAST(sum(c) AS BIGINT) AS s FROM buck GROUP BY j, b
+)
+SELECT bu.event_type, CAST(min(sk.s) AS BIGINT) AS est_count
+FROM buck bu JOIN sketch sk ON bu.j = sk.j AND bu.b = sk.b
+GROUP BY bu.event_type
+""",
+)
+def x150_streaming_cms(spark, sf_dir):
+    # Streaming sketch rollup: each micro-batch folds its event-type
+    # counts into a constant-size CMS grid via foreachBatch (cell-wise
+    # sum -- the mergeability that makes sketches the streaming-native
+    # frequency state).  Because the merge is exactly associative over
+    # integer counts, the drained stream's grid is bit-identical to a
+    # one-shot batch build, so a STREAMING approximate operator gets a
+    # full hash-checked SQL oracle (the DuckDB grid from the same
+    # portable md5 buckets).  State stays <= depth*width rows no
+    # matter how much data flows -- contrast per-key stateful counting
+    # whose state tracks cardinality.
+    from dirty_js_etl_spark.streaming.sketch import run_stream_cms
+
+    name = f"stream_cms_{next(_STREAM_COUNTER)}"
+    return run_stream_cms(
+        spark, sf_dir, depth=4, width=8, query_name=name
+    )
+
+
+@register(
+    "x151_incremental_dedup",
+    f"""
+WITH newb AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fp
+  FROM documents WHERE doc_id % 10 = 0
+), corpus AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fp
+  FROM documents WHERE doc_id % 10 <> 0
+), keep AS (
+  SELECT doc_id, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM newb
+)
+SELECT k.doc_id, k.fp FROM keep k LEFT JOIN corpus c ON k.fp = c.fp
+WHERE k.rn = 1 AND c.fp IS NULL
+""",
+)
+def x151_incremental_dedup(spark, sf_dir):
+    # Daily-ingest dedup: screen the new batch (doc_id % 10 == 0)
+    # against the curated corpus (the rest) by exact fingerprint, and
+    # within-batch keep the smallest id per fingerprint.  The pipeline
+    # never re-deduplicates history to admit a delta: narrow (id, fp)
+    # projections on both sides, one fp-keyed window + one plain
+    # shuffle anti join, no forced broadcasts (both relations are
+    # data-scaled; AQE may still choose broadcast for a small batch).
+    from dirty_js_etl_spark.operators.dedup import incremental_dedup
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )

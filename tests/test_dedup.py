@@ -163,3 +163,24 @@ def test_cluster_canonical_picks_longest_member(spark, catalog):
     for cid, ms in by_cluster.items():
         assert rows[cid]["n_chars"] == max(m["n_chars"] for m in ms)
         assert rows[cid]["n_docs"] == len(ms)
+
+
+def test_incremental_dedup_screens_corpus_and_batch(spark):
+    from dirty_js_etl_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),   # dup of corpus doc 1 (normalized)
+            (11, "epsilon zeta"),   # fresh
+            (12, "epsilon zeta"),   # batch-dup of 11 -> dropped
+            (13, "eta theta"),      # fresh
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_dedup(new, corpus).collect()
+    )
+    assert kept == [11, 13]

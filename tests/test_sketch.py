@@ -227,3 +227,36 @@ def test_semantic_dedup_query_shape(spark):
     assert len(rows) == emb_count
     assert set(out.columns) == {"vec_id", "cell", "kept"}
     assert all(isinstance(r["kept"], bool) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CMS
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cms_grid_equals_one_shot(spark, catalog):
+    """Two hand-fed batches through StreamingCms == one-shot cms_sketch
+    over the union — the associativity that makes x150 oracle-exact."""
+    from dirty_js_etl_spark.streaming.sketch import StreamingCms
+
+    events = catalog.read("events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    state = StreamingCms(spark, depth=4, width=8)
+    for part in (a, b):
+        state.apply_batch(
+            part.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")),
+            "event_type",
+            "c",
+        )
+    from dirty_js_etl_spark.operators.sketch import cms_sketch
+
+    one_shot = cms_sketch(counts, "event_type", "c", depth=4, width=8)
+    sym = state.grid.exceptAll(one_shot).count() + one_shot.exceptAll(
+        state.grid
+    ).count()
+    assert sym == 0
+    assert state.batches == 2
