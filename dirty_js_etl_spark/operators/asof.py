@@ -39,6 +39,7 @@ def asof_join(
     payload_cols: list[str] | None = None,
     direction: str = "backward",
     tiebreak_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: left rows gain the payload of the nearest right row at
     or before (``direction="backward"``, the default) or at or after
@@ -56,6 +57,12 @@ def asof_join(
     equal-timestamp right rows make the running fill pick an arbitrary
     one (whichever the shuffle happened to order last). The columns ride
     the union only for window ordering and are dropped from the output.
+
+    ``tolerance_seconds``: maximum staleness (pandas ``merge_asof``'s
+    ``tolerance``) — a match farther than this from the left timestamp
+    is nulled out, exactly as if no right row existed. Implemented as a
+    map-side post-filter over the filled match time (the union/window
+    plan is unchanged — no extra shuffle).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -108,15 +115,36 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if tolerance_seconds is not None:
+        # right rows additionally carry their own time as a fillable
+        # match-time column so the post-filter can measure staleness
+        l_side = l_side.withColumn("__asof_mt", F.lit(None).cast("timestamp"))
+        r_side = r_side.withColumn("__asof_mt", F.col(_TIME).cast("timestamp"))
+    fill_cols = list(payload_cols) + (
+        ["__asof_mt"] if tolerance_seconds is not None else []
+    )
     filled = l_side.unionByName(r_side).select(
         "*",
         *[
             F.last(F.col(c), ignorenulls=True).over(w).alias(f"__filled_{c}")
-            for c in payload_cols
+            for c in fill_cols
         ],
     )
+    if tolerance_seconds is None:
+        out_payload = {c: F.col(f"__filled_{c}") for c in payload_cols}
+    else:
+        within = (
+            F.abs(
+                F.unix_micros(F.col(_TIME).cast("timestamp"))
+                - F.unix_micros(F.col("__filled___asof_mt"))
+            )
+            <= F.lit(int(tolerance_seconds * 1_000_000))
+        )
+        out_payload = {
+            c: F.when(within, F.col(f"__filled_{c}")) for c in payload_cols
+        }
     return filled.filter(F.col(_SIDE) == 0).select(
         F.col(on),
         *[F.col(c) for c in left.columns if c != on],
-        *[F.col(f"__filled_{c}").alias(c) for c in payload_cols],
+        *[out_payload[c].alias(c) for c in payload_cols],
     )

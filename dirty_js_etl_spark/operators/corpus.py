@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from dirty_js_etl_spark.operators.dedup import word_shingles
 from dirty_js_etl_spark.operators.splits import hash_bucket
-from dirty_js_etl_spark.operators.text import tokens
+from dirty_js_etl_spark.operators.text import normalize_text, tokens
 
 
 # ---------------------------------------------------------------------------
@@ -360,4 +360,166 @@ def weighted_sample(
         .orderBy(F.desc("__ws_key"), F.col(id_col))
         .limit(k)
         .drop("__ws_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph/chunk-level corpus dedup (CCNet / RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Sub-document dedup: split each doc into fixed-``chunk_tokens``
+    word chunks (the fixtures carry no line breaks, so chunks stand in
+    for the paragraphs/lines CCNet-style pipelines dedup), remove every
+    chunk that already appeared earlier in the corpus (global first
+    occurrence by ``(id, pos)`` wins), and reassemble the surviving text.
+
+    Returns ``(id, n_chunks, n_kept, text_dedup)`` — ``text_dedup`` is
+    NULL when every chunk of the doc was a duplicate (the doc should be
+    dropped entirely).
+
+    Scale: chunking is a map-only projection (``transform`` over a
+    ``sequence`` — no UDF); the dedup decision is ONE hash shuffle keyed
+    by the chunk digest (row_number window — uniform keys, a hot
+    boilerplate chunk concentrates only its own copies); reassembly is a
+    second shuffle keyed by doc id (uniform). Chunk text rides the
+    shuffles once each; at 100 TB the digest-keyed exchange is the same
+    shape as exact_dedup's fingerprint shuffle, just ~n_chunks× the
+    rows — still narrow, still spillable, no broadcasts, no skew beyond
+    the true duplicate mass.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "para")
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "pos")
+    ranked = exploded.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("pos"), F.col("para"))
+    )
+    agg = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(kept_struct).cast("long").alias("n_kept"),
+        F.sort_array(F.collect_list(kept_struct)).alias("__kept"),
+    )
+    return agg.select(
+        id_col,
+        "n_chunks",
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["para"]), " "
+            ),
+        ).alias("text_dedup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment-scored decontamination (fraction-of-doc overlap)
+# ---------------------------------------------------------------------------
+
+
+def containment_scores(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-doc n-gram CONTAINMENT against an eval set: the fraction of
+    the doc's distinct word n-grams that appear anywhere in the eval
+    corpus (``|doc ∩ eval| / |doc|``). Complements :func:`decontaminate`
+    (absolute hit count): containment normalizes by doc length, so a
+    50-gram doc with 30 eval grams is flagged while a 100k-gram doc with
+    the same 30 is not.
+
+    Returns ``(id, n_grams, n_matched, containment, flagged)``.
+
+    Scale: same profile as decontaminate — eval grams are small by
+    construction and broadcast; the per-doc denominator is computed
+    map-side (``size(array_distinct(...))``, no extra shuffle); the only
+    corpus shuffle is the hit-count aggregation keyed by doc id.
+    """
+    grams = word_shingles(F.col(text_col), k=n)  # already distinct
+    eval_grams = eval_set.select(F.explode(grams).alias("g")).distinct()
+    per_doc = corpus.select(
+        F.col(id_col), F.size(grams).cast("long").alias("n_grams"), grams.alias("__g")
+    )
+    hits = (
+        per_doc.select(id_col, F.explode("__g").alias("g"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    joined = per_doc.drop("__g").join(hits, id_col, "left")
+    n_matched = F.coalesce("n_matched", F.lit(0)).cast("long")
+    containment = n_matched / F.col("n_grams")
+    return joined.select(
+        id_col,
+        "n_grams",
+        n_matched.alias("n_matched"),
+        containment.alias("containment"),
+        (containment >= F.lit(threshold)).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality gating (RefinedWeb-style source filtering)
+# ---------------------------------------------------------------------------
+
+
+def domain_quality(
+    df: DataFrame,
+    quality_col: Column,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Aggregate a per-doc quality signal to its domain/source and flag
+    domains scoring below the corpus-wide mean — the domain-level gate
+    web-corpus pipelines apply before per-doc filters (a consistently
+    low-quality source is dropped wholesale).
+
+    Returns ``(domain, n_docs, avg_quality, below_avg)``.
+
+    Scale: one hash aggregation keyed by domain (domains number in the
+    millions at web scale — far beyond broadcast, fine for a shuffle);
+    the corpus-wide mean is a 1-row aggregate attached by broadcast
+    cross-join, the scalar-subquery pattern (x56). Quality sums ride
+    DECIMAL(28,6) so the aggregate is exact/associative regardless of
+    partition order (the float-determinism rule from the module header
+    of queries.py); the published average is cast back to double.
+    """
+    q6 = quality_col.cast("decimal(28,6)")
+    per_dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(q6).alias("__qsum"),
+    )
+    # exact decimal sums; ONE double division each side (deterministic,
+    # engine-portable — decimal÷decimal rescale rounding is not)
+    avg_q = F.col("__qsum").cast("double") / F.col("n_docs")
+    overall = per_dom.agg(
+        (F.sum("__qsum").cast("double") / F.sum("n_docs")).alias("__gmean")
+    )
+    return (
+        per_dom.crossJoin(F.broadcast(overall))
+        .select(
+            "domain",
+            "n_docs",
+            avg_q.alias("avg_quality"),
+            (avg_q < F.col("__gmean")).alias("below_avg"),
+        )
     )

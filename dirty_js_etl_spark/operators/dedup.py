@@ -453,6 +453,23 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("id"),
         simhash_chunks(F.col(text_col), n_chunks, chunk_bits).alias("sig"),
     )
+    return chunked_signature_pairs(base, max_hamming, max_bucket_size)
+
+
+def chunked_signature_pairs(
+    base: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Pigeonhole hamming-pair join over ANY chunked signature table
+    ``(id, sig: array<int>)`` — shared by SimHash text near-dup and the
+    multimodal perceptual-hash near-dup (``multimodal.py``). With ``c``
+    chunks, any pair at distance <= c-1 shares >= 1 identical chunk, so
+    candidates reduce to an equi-join on (chunk_index, chunk_value);
+    hot buckets (a degenerate constant signature) are capped at
+    ``max_bucket_size`` like the LSH band join. Returns
+    ``(id_a, id_b, hamming)``.
+    """
     banded = base.select(
         "id", "sig", F.posexplode("sig").alias("chunk_idx", "chunk_val")
     )

@@ -208,3 +208,78 @@ def media_metadata_only(df: DataFrame) -> DataFrame:
         F.col("media_meta.byte_len").alias("byte_len"),
         F.col("media_meta.checksum").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (image dedup plumbing)
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "doc_id bigint, sig array<int>"
+
+_PHASH_CELLS = 64
+_PHASH_CHUNKS = 4  # 4 × 16-bit chunks -> pigeonhole pairs at hamming <= 3
+
+
+def average_hash_kernel(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """DETERMINISTIC average-hash kernel (``mapInPandas`` signature):
+    split each payload into 64 equal byte cells, bit = cell mean above
+    the global mean, packed into 4 × 16-bit int chunks (the
+    :func:`~dirty_js_etl_spark.operators.dedup.chunked_signature_pairs`
+    signature layout).
+
+    REAL-DECODER SEAM: a production image pipeline decodes pixels and
+    applies DCT (pHash) or resampling (aHash) before thresholding —
+    byte cells stand in here (no image libs in this container). Small
+    payload perturbations flip few cells, so hamming distance tracks
+    payload similarity — the property the pairing layer needs.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        sigs = []
+        for b in pdf["payload"]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            if arr.size == 0:
+                sigs.append([0] * _PHASH_CHUNKS)
+                continue
+            # pad to a multiple of 64 cells, cell means vs global mean
+            cells = np.array_split(arr.astype(np.float64), _PHASH_CELLS)
+            means = np.array([c.mean() if c.size else 0.0 for c in cells])
+            bits = (means > arr.mean()).astype(np.int64)
+            chunks = []
+            per = _PHASH_CELLS // _PHASH_CHUNKS
+            for c in range(_PHASH_CHUNKS):
+                word = 0
+                for i in range(per):
+                    word |= int(bits[c * per + i]) << i
+                chunks.append(word)
+            sigs.append(chunks)
+        yield type(pdf)({"doc_id": pdf["doc_id"], "sig": sigs})
+
+
+def phash_signatures(df: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual signatures ``(doc_id, sig)`` for the
+    payload column. Map-only — the expensive decode+hash never shuffles
+    payload bytes; only the 4-int signature table moves downstream."""
+    return df.select("doc_id", "payload").mapInPandas(
+        average_hash_kernel, schema=PHASH_SCHEMA
+    )
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Image near-dup pairs: perceptual signature (map-only kernel) +
+    the shared pigeonhole chunk join (``dedup.chunked_signature_pairs``).
+    At 100 TB the payload bytes stay in the scan stage; what shuffles is
+    the (id, chunk) table — same cost profile as SimHash text dedup.
+    Returns ``(id_a, id_b, hamming)``.
+    """
+    from dirty_js_etl_spark.operators.dedup import chunked_signature_pairs
+
+    base = phash_signatures(df).select(F.col("doc_id").alias("id"), "sig")
+    return chunked_signature_pairs(base, max_hamming, max_bucket_size)

@@ -217,3 +217,36 @@ def cms_estimate(
         )
         .select(F.col("__k").alias(key_col), "est_count")
     )
+
+
+def bloom_prune(
+    fact: DataFrame,
+    fact_key: Column,
+    members: DataFrame,
+    member_key: Column,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Semi-join REDUCTION: screen ``fact`` down to rows whose key
+    *might* be in ``members`` before an exact join — the classic
+    bloom-join (and what Spark's own runtime row-group filtering does
+    for DPP-eligible joins, generalized to any build side).
+
+    The filter is built once from the (already-filtered) member keys —
+    a bounded ``m/64``-long array regardless of member count — and the
+    fact side drops non-candidates with a map-only k-probe test INSIDE
+    its scan stage, so rows that cannot join never reach the shuffle.
+    False positives (rate ``(1-e^{-kn/m})^k``) survive the screen and
+    are eliminated by the exact join that follows; false negatives are
+    impossible, so ``bloom_prune + join ≡ join`` — which is exactly what
+    the x155 oracle asserts. Worthwhile when the join is selective (most
+    fact rows match nothing): shuffle volume shrinks by the selectivity
+    factor at the cost of one broadcast of ``m/64`` longs.
+    """
+    bloom = bloom_build(members.select(member_key.alias("__mk")),
+                        F.col("__mk"), m_bits=m_bits, k=k)
+    return (
+        fact.crossJoin(F.broadcast(bloom))
+        .filter(bloom_contains(fact_key, F.col("bloom_words"), m_bits, k))
+        .drop("bloom_words")
+    )

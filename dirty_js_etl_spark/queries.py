@@ -6535,3 +6535,497 @@ def x151_incremental_dedup(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 == 0),
         docs.filter(F.col("doc_id") % 10 != 0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 extensions: sub-document dedup, containment decontamination,
+# domain gating, tolerance as-of, deeper TPC-H analog coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x152_paragraph_dedup",
+    r"""
+WITH toks AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)),
+           i -> struct_pack(pos := CAST(i AS INT),
+                            para := array_to_string(t[(i*10+1):(i*10+10)], ' ')))) AS ch
+  FROM toks
+), ranked AS (
+  SELECT doc_id, ch.pos AS pos, ch.para AS para,
+         row_number() OVER (PARTITION BY md5(ch.para) ORDER BY doc_id, ch.pos) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+       CASE WHEN count(*) FILTER (rn = 1) > 0
+            THEN string_agg(para, ' ' ORDER BY pos) FILTER (rn = 1) END AS text_dedup
+FROM ranked GROUP BY doc_id
+""",
+)
+def x152_paragraph_dedup(spark, sf_dir):
+    # CCNet/RefinedWeb-style SUB-document dedup: fixed-10-token chunks
+    # stand in for paragraphs (fixtures have no line breaks); global
+    # first occurrence (doc_id, pos) survives, docs reassemble from the
+    # surviving chunks. One digest-keyed shuffle decides, one doc-keyed
+    # shuffle reassembles — no broadcasts, no all-pairs anything.
+    from dirty_js_etl_spark.operators.corpus import paragraph_dedup
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return paragraph_dedup(docs, chunk_tokens=10)
+
+
+@register(
+    "x153_containment_decontaminate",
+    r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), glist AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(w) - 3 + 1, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS gs
+  FROM words
+), grams AS (
+  SELECT doc_id, UNNEST(gs) AS g FROM glist
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+), counts AS (
+  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams FROM glist WHERE doc_id % 20 <> 0
+), hits AS (
+  SELECT c.doc_id, count(*) AS n_matched
+  FROM grams c JOIN eval_grams e USING (g)
+  WHERE c.doc_id % 20 <> 0 GROUP BY c.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(coalesce(h.n_matched, 0) AS BIGINT) AS n_matched,
+       coalesce(h.n_matched, 0) / CAST(t.n_grams AS DOUBLE) AS containment,
+       coalesce(h.n_matched, 0) / CAST(t.n_grams AS DOUBLE) >= 0.1 AS flagged
+FROM counts t LEFT JOIN hits h USING (doc_id)
+""",
+)
+def x153_containment_decontaminate(spark, sf_dir):
+    # containment (|doc ∩ eval| / |doc|) decontamination: length-
+    # normalized complement of x45's absolute hit count. Denominator is
+    # computed map-side; the only corpus shuffle is the doc-keyed hit
+    # aggregation; eval grams broadcast (small by construction).
+    from dirty_js_etl_spark.operators.corpus import containment_scores
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return containment_scores(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=3,
+        threshold=0.1,
+    )
+
+
+@register(
+    "x157_domain_quality_filter",
+    r"""
+WITH feat AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         CAST(greatest(length(text), 1) AS DOUBLE) AS denom,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), feat2 AS (
+  SELECT doc_id, source, n_chars, n_alpha / denom AS alpha_ratio,
+         len(list_filter(toks, t -> list_contains(
+            ['the','a','an','and','or','of','to','in','is','it'], t)))
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+  FROM feat
+), q AS (
+  SELECT source,
+         CAST(round(alpha_ratio * 0.4 + stopword_ratio * 0.3 +
+              (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3,
+              6) AS DECIMAL(28,6)) AS q6
+  FROM feat2
+), per_dom AS (
+  SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_docs, sum(q6) AS qsum
+  FROM q GROUP BY source
+), overall AS (
+  SELECT CAST(sum(qsum) AS DOUBLE) / sum(n_docs) AS gmean FROM per_dom
+)
+SELECT domain, n_docs,
+       CAST(qsum AS DOUBLE) / n_docs AS avg_quality,
+       (CAST(qsum AS DOUBLE) / n_docs) < gmean AS below_avg
+FROM per_dom, overall
+""",
+)
+def x157_domain_quality_filter(spark, sf_dir):
+    # domain-level quality gate (RefinedWeb-style): per-source mean of
+    # the x3 quality signal, flag sources below the corpus mean. Exact
+    # decimal sums + one double division per side keep the aggregate
+    # partition-order-invariant and engine-portable.
+    from dirty_js_etl_spark.operators.corpus import domain_quality
+    from dirty_js_etl_spark.operators.text import quality_score
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return domain_quality(docs, quality_score(F.col("text")), "source")
+
+
+@register(
+    "x158_asof_tolerance",
+    """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.p_ts AS last_purchase_ts, p.p_value AS last_purchase_value
+FROM clicks c LEFT JOIN LATERAL (
+  SELECT ts AS p_ts, value AS p_value
+  FROM purchases p
+  WHERE p.user_id = c.user_id AND p.ts <= c.ts
+    AND p.ts >= c.ts - INTERVAL 30 MINUTE
+  ORDER BY p.ts DESC, p.event_id LIMIT 1
+) p ON TRUE
+""",
+)
+def x158_asof_tolerance(spark, sf_dir):
+    # as-of join with max-staleness tolerance (pandas merge_asof
+    # `tolerance`): matches older than 30 minutes null out. Same single
+    # union+window plan as x21 — the tolerance is a map-side post-filter
+    # over the filled match time, not a second join.
+    from dirty_js_etl_spark.operators.asof import asof_join
+
+    events = _cat(spark, sf_dir).read("events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.col("event_id").alias("p_eid"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["p_ts", "p_value"],
+        tiebreak_cols=["p_eid"],
+        tolerance_seconds=1800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("p_ts").alias("last_purchase_ts"),
+        F.col("p_value").alias("last_purchase_value"),
+    )
+
+
+@register(
+    "x159_tpch_q12",
+    """
+SELECT l_returnflag AS flag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+""",
+)
+def x159_tpch_q12(spark, sf_dir):
+    # Q12 analog (fixtures lack shipmode/commit/receipt dates):
+    # late-shipment priority split by returnflag. orders⋈lineitem is the
+    # one genuine big-big shuffle join; the late predicate is evaluated
+    # post-join (it spans both sides), the 3-value agg rides the same
+    # exchange via partial aggregation.
+    cat = _cat(spark, sf_dir)
+    li = cat.read("lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    orders = cat.read("orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "x160_tpch_q19",
+    f"""
+SELECT CAST(sum({_DEC}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def x160_tpch_q19(spark, sf_dir):
+    # Q19 analog: disjunctive brand/size/quantity predicates. The
+    # single-side conjuncts Catalyst derives (brand IN (...),
+    # quantity <= 30 etc.) push to the scans; part broadcasts; the OR
+    # residual evaluates post-join inside codegen.
+    cat = _cat(spark, sf_dir)
+    li = cat.read("lineitem")
+    part = cat.read("part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    br = F.col("p_brand")
+    cond = (
+        ((br == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((br == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "x161_tpch_q8",
+    f"""
+WITH volumes AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         {_DEC} AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                     ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(volume) AS DOUBLE) AS mkt_share
+FROM volumes GROUP BY o_year
+""",
+)
+def x161_tpch_q8(spark, sf_dir):
+    # Q8 analog (national market share): 7 joins, but only
+    # lineitem⋈orders is big-big — part/supplier/customer/nation/region
+    # all broadcast (AQE confirms), so the fact table shuffles once.
+    # Exact decimal volume sums; ONE double division for the share.
+    cat = _cat(spark, sf_dir)
+    li = cat.read("lineitem")
+    orders = cat.read("orders")
+    part = cat.read("part").filter(F.col("p_type") == "PROMO")
+    supplier = cat.read("supplier")
+    nation = cat.read("nation")
+    customer = cat.read("customer")
+    region = cat.read("region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    vol = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            _disc_price().alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit("0.00").cast("decimal(18,2)")
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "x162_tpch_q21",
+    """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier JOIN l l1 ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+)
+def x162_tpch_q21(spark, sf_dir):
+    # Q21 analog ("suppliers who kept orders waiting", returnflag='R'
+    # standing in for the missing receipt/commit dates). The classic
+    # plan is TWO correlated self-joins of lineitem; this rewrite
+    # aggregates each order's supplier census once (n_supp,
+    # n_supp_flagged) and turns both EXISTS into predicates on the
+    # aggregate — one self-shuffle instead of two, no correlated
+    # subqueries, same rows (proved by the oracle's literal
+    # EXISTS/NOT EXISTS spelling).
+    cat = _cat(spark, sf_dir)
+    orders = cat.read("orders").filter(F.col("o_orderstatus") == "F")
+    li = (
+        cat.read("lineitem")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+    )
+    census = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_supp_r"),
+    )
+    flagged = li.filter(F.col("l_returnflag") == "R")
+    supplier = cat.read("supplier")
+    return (
+        flagged.join(census, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_supp_r") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register("x154_rolling_hll_wau", None)  # HLL estimate (engine sketch)
+# -> rows-only; tests/test_sketch.py bounds the error vs the exact
+# sliding distinct (x145) at <= 5% per day
+def x154_rolling_hll_wau(spark, sf_dir):
+    # Approximate trailing-7-day WAU via mergeable per-day HLL sketches:
+    # the SCALE path for x145's exact sliding distinct. Events reduce to
+    # one ~1.5 KB sketch row per day (single shuffle); the slide then
+    # operates on the CALENDAR-sized sketch table (<= days x 7 rows,
+    # data-independent), vs. the exact form's 7x fan-out of the distinct
+    # (day,user) relation. At 100 TB the daily sketches also persist as
+    # the incremental state: yesterday's sketches never recompute.
+    ev = _cat(spark, sf_dir).read("events")
+    daily = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg(F.col("user_id"), 12).alias("sk"))
+    )
+    d2 = daily.select(F.col("day").alias("d"))
+    return (
+        daily.join(
+            F.broadcast(d2),
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("wau7_approx")
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau7_approx")
+    )
+
+
+@register(
+    "x155_bloom_pruned_join",
+    f"""
+WITH o AS (
+  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+SELECT month,
+       CAST(sum({_DEC}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN o ON l_orderkey = o_orderkey
+GROUP BY month
+""",
+)
+def x155_bloom_pruned_join(spark, sf_dir):
+    # Bloom-join: screen the fact table with a bounded m-bit filter
+    # built from the selective build side BEFORE the exact join, so
+    # ~80% of lineitem rows (non-urgent orders) die map-side and never
+    # reach the shuffle. No false negatives => identical result to the
+    # plain join, which is literally what the oracle runs. The filter
+    # is ~16 KB regardless of order count — this is the scale story:
+    # selectivity-proportional shuffle reduction at constant broadcast
+    # cost (AQE cannot do this when the build side exceeds the
+    # broadcast-join threshold).
+    from dirty_js_etl_spark.operators.sketch import bloom_prune
+
+    cat = _cat(spark, sf_dir)
+    urgent = cat.read("orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+    li = cat.read("lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_prune(
+        li, F.col("l_orderkey"), urgent.select("o_orderkey"),
+        F.col("o_orderkey"), m_bits=1 << 17, k=5,
+    )
+    return (
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
+        .groupBy("month")
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register("x156_bpe_vocab", None)  # iterative trainer — not SQL-
+# expressible (driver-loop argmax per merge); determinism + hand-
+# computed merge table pinned in tests/test_bpe.py
+def x156_bpe_vocab(spark, sf_dir):
+    # Distributed BPE merge learning (Sennrich 2016): corpus folds to
+    # the word-frequency relation in ONE shuffle, then each of the 12
+    # merges costs one narrow pair-count aggregation + a k=1
+    # TakeOrdered (one row to the driver per merge — the learned merge
+    # itself). Fully deterministic: integer counts, lexicographic
+    # tie-break.
+    from dirty_js_etl_spark.operators.bpe import learn_bpe_merges
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return learn_bpe_merges(docs, n_merges=12)
+
+
+@register("x163_phash_near_dup", None)  # perceptual signature rides a
+# numpy kernel; rows-only + planted-duplicate tests in
+# tests/test_multimodal.py
+def x163_phash_near_dup(spark, sf_dir):
+    # Multimodal near-dup: average-hash signatures from the payload
+    # bytes (map-only Arrow kernel — the bytes never shuffle) + the
+    # SAME pigeonhole chunk join as SimHash text dedup. Planted exact
+    # duplicates in the fixture text produce identical payloads, so
+    # hamming-0 pairs exist by construction.
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_near_dup_pairs,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    with_payload = attach_binary_payload(docs)
+    return phash_near_dup_pairs(with_payload, max_hamming=3)

@@ -167,3 +167,31 @@ def test_asof_direction_validated(spark):
     with _pt.raises(ValueError):
         asof_join(df, df, on="k", left_time="t", right_time="t",
                   payload_cols=[], direction="sideways")
+
+
+def test_tolerance_nulls_stale_matches(spark, quotes, trades):
+    # tolerance = 6s: trade@15 is 5s after quote@10 (kept), trade@25 is
+    # 5s after quote@20 (kept), trade@99 is 84s after quote@15 (nulled)
+    out = asof_join(
+        trades, quotes, on="k", left_time="t", right_time="t",
+        tolerance_seconds=6,
+    )
+    got = {(r["k"], r["t"]): r["q"] for r in out.collect()}
+    assert got == {
+        (1, 5): None,
+        (1, 10): "a",
+        (1, 15): "a",
+        (1, 25): "b",
+        (2, 14): None,
+        (2, 99): None,  # stale beyond tolerance
+    }
+
+
+def test_tolerance_zero_keeps_exact_ties_only(spark, quotes, trades):
+    out = asof_join(
+        trades, quotes, on="k", left_time="t", right_time="t",
+        tolerance_seconds=0,
+    )
+    got = {(r["k"], r["t"]): r["q"] for r in out.collect()}
+    assert got[(1, 10)] == "a"  # exact-time snapshot survives tol=0
+    assert got[(1, 15)] is None and got[(1, 25)] is None

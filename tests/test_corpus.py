@@ -234,3 +234,72 @@ class TestWeightedSample:
         samp = weighted_sample(base, "doc_id", "w", n // 4).collect()
         heavy = sum(1 for r in samp if r.doc_id % 2 == 0)
         assert heavy / len(samp) > 0.7  # vs 0.5 row share
+
+
+# ---------------------------------------------------------------------------
+# Round 4: paragraph dedup / containment / domain gating
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_removes_repeated_chunks(spark):
+    from dirty_js_etl_spark.operators.corpus import paragraph_dedup
+
+    # doc 1: two distinct chunks; doc 2 repeats doc 1's first chunk then
+    # adds its own; doc 3 is entirely doc 1's chunks -> fully dropped
+    c1 = "a b c"
+    c2 = "d e f"
+    c3 = "x y z"
+    df = spark.createDataFrame(
+        [(1, f"{c1} {c2}"), (2, f"{c1} {c3}"), (3, f"{c1} {c2}")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(df, chunk_tokens=3).collect()
+    }
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == f"{c1} {c2}"
+    assert out[2]["n_kept"] == 1 and out[2]["text_dedup"] == c3
+    assert out[3]["n_kept"] == 0 and out[3]["text_dedup"] is None
+
+
+def test_paragraph_dedup_partition_invariant(spark, catalog):
+    from dirty_js_etl_spark.operators.corpus import paragraph_dedup
+
+    docs = catalog.read("documents")
+    a = paragraph_dedup(docs).orderBy("doc_id").collect()
+    b = paragraph_dedup(docs.repartition(7)).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_containment_scores_hand_computed(spark):
+    from dirty_js_etl_spark.operators.corpus import containment_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d"), (2, "p q r s")], "doc_id long, text string"
+    )
+    eval_set = spark.createDataFrame(
+        [(9, "a b c zz")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in containment_scores(
+            corpus, eval_set, n=3, threshold=0.5
+        ).collect()
+    }
+    # doc 1 grams: "a b c", "b c d" -> 1 of 2 matched ("a b c")
+    assert out[1]["n_grams"] == 2 and out[1]["n_matched"] == 1
+    assert out[1]["containment"] == 0.5 and out[1]["flagged"]
+    assert out[2]["n_matched"] == 0 and not out[2]["flagged"]
+
+
+def test_domain_quality_flags_below_mean(spark):
+    from dirty_js_etl_spark.operators.corpus import domain_quality
+
+    df = spark.createDataFrame(
+        [("s1", 0.9), ("s1", 0.7), ("s2", 0.1), ("s2", 0.3)],
+        "source string, q double",
+    )
+    out = {r["domain"]: r for r in domain_quality(df, F.col("q")).collect()}
+    assert out["s1"]["avg_quality"] == 0.8 and not out["s1"]["below_avg"]
+    assert out["s2"]["avg_quality"] == 0.2 and out["s2"]["below_avg"]
