@@ -91,3 +91,44 @@ def test_audio_features_deterministic(spark, media):
     rows = out.collect()
     assert all(r["n_channels"] in (1, 2) for r in rows)
     assert all(0.0 <= r["rms"] < 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (average-hash kernel + pigeonhole pairing)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_identical_payloads_pair_at_zero(spark):
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    perturbed = base.replace("quick", "quack", 1)
+    unrelated = "zq " + "xv kj qw zz pp mm nn oo " * 16
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [(1, base), (2, base), (3, perturbed), (4, unrelated)],
+            "doc_id long, text string",
+        )
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical payloads
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3  # tiny perturbation
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_phash_signature_deterministic(spark, catalog):
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_signatures,
+    )
+
+    docs = attach_binary_payload(catalog.read("documents").limit(50))
+    a = sorted(map(tuple, phash_signatures(docs).collect()))
+    b = sorted(map(tuple, phash_signatures(docs.repartition(5)).collect()))
+    assert a == b

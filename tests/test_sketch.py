@@ -260,3 +260,58 @@ def test_streaming_cms_grid_equals_one_shot(spark, catalog):
     ).count()
     assert sym == 0
     assert state.batches == 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom-join (bloom_prune): exact-equivalence + selectivity
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_join_equivalence(spark, catalog):
+    from dirty_js_etl_spark.operators.sketch import bloom_prune
+
+    orders = catalog.read("orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    li = catalog.read("lineitem").select("l_orderkey", "l_linenumber")
+    pruned = bloom_prune(
+        li, F.col("l_orderkey"), orders, F.col("o_orderkey")
+    )
+    exact = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    via_bloom = pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+    a = sorted((r[0], r[1]) for r in exact.select("l_orderkey", "l_linenumber").collect())
+    b = sorted((r[0], r[1]) for r in via_bloom.select("l_orderkey", "l_linenumber").collect())
+    assert a == b  # no false negatives, FPs removed by the exact join
+
+
+def test_bloom_prune_reduces_fact_side(spark, catalog):
+    from dirty_js_etl_spark.operators.sketch import bloom_prune
+
+    orders = catalog.read("orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    li = catalog.read("lineitem").select("l_orderkey")
+    n_all = li.count()
+    n_pruned = bloom_prune(
+        li, F.col("l_orderkey"), orders, F.col("o_orderkey")
+    ).count()
+    n_true = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    # keeps every true match; FP overhead stays small at this m/n
+    assert n_true <= n_pruned < n_all * 0.5
+
+
+def test_rolling_hll_wau_error_bound(spark):
+    from dirty_js_etl_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["day"]: r["wau7_approx"]
+        for r in Q._REGISTRY["x154_rolling_hll_wau"].fn(spark, sf).collect()
+    }
+    exact = {
+        r["day"]: r["wau7"]
+        for r in Q._REGISTRY["x145_rolling_active_users"].fn(spark, sf).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, e in exact.items():
+        assert abs(approx[day] - e) <= max(0.05 * e, 2), (day, approx[day], e)
