@@ -7029,3 +7029,27 @@ def x163_phash_near_dup(spark, sf_dir):
     docs = _cat(spark, sf_dir).read("documents")
     with_payload = attach_binary_payload(docs)
     return phash_near_dup_pairs(with_payload, max_hamming=3)
+
+
+@register(
+    "x164_streaming_scd2",
+    """
+SELECT user_id, value, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def x164_streaming_scd2(spark, sf_dir):
+    # Streaming SCD2 maintenance: foreachBatch chains each micro-batch
+    # locally, closes the running history's open rows, and appends with
+    # shifted version numbers — converging (under the per-key in-order
+    # CDC contract) to the batch x44 history, which is literally the
+    # oracle here. Multi-batch increments are pinned by
+    # tests/test_streaming_scd.py.
+    from dirty_js_etl_spark.streaming.scd import run_stream_scd2
+
+    name = f"stream_scd2_{next(_STREAM_COUNTER)}"
+    return run_stream_scd2(spark, sf_dir, query_name=name)
