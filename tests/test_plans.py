@@ -230,3 +230,45 @@ def test_cms_grid_always_broadcasts(spark):
     plan = _plan(spark, "x149_cms_heavy_hitters")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_pruned_join_filters_before_exchange(spark):
+    # the bloom probe must sit in the fact scan stage, below the join's
+    # exchange: non-candidate rows die map-side
+    plan = _plan(spark, "x155_bloom_pruned_join")
+    probe = plan.find("bloom_words")
+    join = plan.find("Join [l_orderkey")  # the exact orders join
+    assert probe != -1 and join != -1
+    # toString prints parents above children: the bloom probe (fused
+    # into the 1-row cross join's condition) must sit BELOW the exact
+    # join — rows are screened before they reach it
+    assert probe > join
+
+
+def test_paragraph_dedup_two_shuffles_no_broadcast_of_corpus(spark):
+    plan = _plan(spark, "x152_paragraph_dedup")
+    # digest-keyed window + doc-keyed agg: shuffles only, no corpus
+    # broadcast anywhere
+    assert "BroadcastExchange" not in plan
+
+
+def test_containment_broadcasts_eval_grams_only(spark):
+    plan = _plan(spark, "x153_containment_decontaminate")
+    assert "BroadcastExchange" in plan  # the eval gram table
+    # corpus side aggregates by doc id — partial+final pair present
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q8_single_fact_shuffle(spark):
+    # all dims broadcast: the only sort-merge-worthy join is
+    # lineitem⋈orders
+    plan = _plan(spark, "x161_tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_hll_wau_slides_on_sketch_table(spark):
+    # the 7-day fan-out joins the per-day SKETCH table to itself (a
+    # broadcast of the calendar-sized side), never re-shuffling events
+    plan = _plan(spark, "x154_rolling_hll_wau")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
