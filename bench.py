@@ -65,6 +65,11 @@ HEADLINE = [
     "x89_session_window_native",
     "x90_ngram_corpus_dedup",
     "x97_token_search",
+    # round 4: sub-doc dedup, containment decontamination, deep TPC-H
+    "x152_paragraph_dedup",
+    "x153_containment_decontaminate",
+    "x161_tpch_q8",
+    "x162_tpch_q21",
 ]
 
 

@@ -450,29 +450,33 @@ def containment_scores(
 
     Returns ``(id, n_grams, n_matched, containment, flagged)``.
 
-    Scale: same profile as decontaminate — eval grams are small by
-    construction and broadcast; the per-doc denominator is computed
-    map-side (``size(array_distinct(...))``, no extra shuffle); the only
-    corpus shuffle is the hit-count aggregation keyed by doc id.
+    Scale: ONE shingle pass over the corpus and ONE doc-keyed shuffle —
+    the denominator and the hit count come out of the same aggregation
+    (``word_shingles`` is distinct per doc, so ``count(*)`` after the
+    explode IS |doc|; the broadcast LEFT join against the eval grams
+    marks hits without dropping rows, so zero-hit docs keep their
+    denominator). Eval grams are small by construction and broadcast.
     """
     grams = word_shingles(F.col(text_col), k=n)  # already distinct
-    eval_grams = eval_set.select(F.explode(grams).alias("g")).distinct()
-    per_doc = corpus.select(
-        F.col(id_col), F.size(grams).cast("long").alias("n_grams"), grams.alias("__g")
+    eval_grams = (
+        eval_set.select(F.explode(grams).alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    hits = (
-        per_doc.select(id_col, F.explode("__g").alias("g"))
-        .join(F.broadcast(eval_grams), "g")
+    exploded = corpus.select(F.col(id_col), F.explode(grams).alias("g"))
+    agg = (
+        exploded.join(F.broadcast(eval_grams), "g", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count("__hit").cast("long").alias("n_matched"),
+        )
     )
-    joined = per_doc.drop("__g").join(hits, id_col, "left")
-    n_matched = F.coalesce("n_matched", F.lit(0)).cast("long")
-    containment = n_matched / F.col("n_grams")
-    return joined.select(
+    containment = F.col("n_matched") / F.col("n_grams")
+    return agg.select(
         id_col,
         "n_grams",
-        n_matched.alias("n_matched"),
+        "n_matched",
         containment.alias("containment"),
         (containment >= F.lit(threshold)).alias("flagged"),
     )

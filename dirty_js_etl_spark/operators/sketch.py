@@ -118,15 +118,21 @@ def bloom_contains(
 ) -> Column:
     """Boolean membership test against :func:`bloom_build`'s word array.
 
-    Pure projection (k hash+mask probes ANDed) — no join. False
+    Pure projection (k hash + ``getbit`` probes ANDed) — no join. False
     positives at the standard ``(1-e^{-kn/m})^k`` rate; never false
     negatives: every inserted key tests true.
+
+    The probe is the HOT expression of a bloom-join (evaluated once per
+    fact row × k), so it uses ``getbit(word, pos % 64)`` — a single
+    codegen'd shift-and-mask — rather than the build side's
+    element_at-over-64-literals mask table (fine there: the build is
+    member-sized, the probe is corpus-sized).
     """
     checks = []
     for j in range(k):
         pos = _bloom_pos(key, F.lit(j), m_bits)
         word = F.element_at(words, F.shiftright(pos, 6).cast("int") + 1)
-        checks.append(word.bitwiseAND(_mask(pos % 64)) != 0)
+        checks.append(F.getbit(word, pos % 64) == 1)
     return reduce(lambda a, b: a & b, checks)
 
 

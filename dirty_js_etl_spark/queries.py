@@ -6969,10 +6969,15 @@ def x155_bloom_pruned_join(spark, sf_dir):
     # ~80% of lineitem rows (non-urgent orders) die map-side and never
     # reach the shuffle. No false negatives => identical result to the
     # plain join, which is literally what the oracle runs. The filter
-    # is ~16 KB regardless of order count — this is the scale story:
+    # is ~128 KB regardless of order count — this is the scale story:
     # selectivity-proportional shuffle reduction at constant broadcast
     # cost (AQE cannot do this when the build side exceeds the
-    # broadcast-join threshold).
+    # broadcast-join threshold). Honest local measurement: at sf0.1 on
+    # local[32] the probe CPU (k hashes/row) EXCEEDS the saving,
+    # because AQE broadcasts the 30k-key build side and the fact never
+    # shuffles anyway — bloom_prune's regime is a non-broadcastable
+    # build side + network-bound shuffle, i.e. the cluster, not this
+    # box; the oracle equality (bloom+join ≡ join) is the point here.
     from dirty_js_etl_spark.operators.sketch import bloom_prune
 
     cat = _cat(spark, sf_dir)
@@ -6984,7 +6989,7 @@ def x155_bloom_pruned_join(spark, sf_dir):
     )
     pruned = bloom_prune(
         li, F.col("l_orderkey"), urgent.select("o_orderkey"),
-        F.col("o_orderkey"), m_bits=1 << 17, k=5,
+        F.col("o_orderkey"), m_bits=1 << 20, k=4,
     )
     return (
         pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
