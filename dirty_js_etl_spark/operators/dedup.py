@@ -609,3 +609,86 @@ def incremental_dedup(
     return first_in_batch.join(corpus_fp, "fp", "left_anti").select(
         id_col, "fp"
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs via prefix filtering (AllPairs /
+    PPJoin family — Bayardo et al., WWW 2007): the lossless counterpart
+    of :func:`ngram_jaccard_pairs`'s df-cap heuristic.
+
+    Order every doc's shingles globally by (document frequency, hash) —
+    rarest first — and index only each doc's PREFIX: the first
+    ``|d| - ceil(t·|d|) + 1`` shingles. Any pair with Jaccard >= t must
+    share at least one prefix shingle (if all shared shingles sat
+    outside both prefixes, the intersection would be too small to reach
+    t), so the candidate self-join runs on the prefix postings — a
+    t-proportional fraction of the full posting list, with the HOTTEST
+    (high-df) shingles preferentially excluded, which is where the df²
+    join blowup lives. Candidates are then verified with an exact
+    intersection count (two candidate-driven joins against the full
+    postings), so the result is bit-identical to the uncapped
+    brute-force pair join — which is literally the oracle.
+
+    Scale profile: one shingle shuffle (df counts), one id-keyed window
+    (prefix ranks), the prefix self-join (the pruned quadratic term),
+    and a candidate-sized verification join. No broadcasts of anything
+    corpus-scaled; skew is governed by the highest df INSIDE a prefix,
+    which prefix ordering actively minimizes.
+    """
+    t = jaccard_threshold
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    exploded = base.select(
+        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
+    ).localCheckpoint(eager=False)
+    df_counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("g"))
+    prefix = (
+        exploded.join(df_counts, "g")
+        .withColumn("__pos", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(
+            F.col("__pos")
+            <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        )
+        .select("id", "g")
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    pa = exploded.select(F.col("id").alias("id_a"), "g")
+    pb = exploded.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        cand.join(pa, "id_a")
+        .join(pb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("id_a", "id_b", "jaccard")
+    )

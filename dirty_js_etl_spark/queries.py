@@ -7058,3 +7058,109 @@ def x164_streaming_scd2(spark, sf_dir):
 
     name = f"stream_scd2_{next(_STREAM_COUNTER)}"
     return run_stream_scd2(spark, sf_dir, query_name=name)
+
+
+@register(
+    "x165_prefix_jaccard_join",
+    r"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), shingles AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3 + 1, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM words
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5
+""",
+)
+def x165_prefix_jaccard_join(spark, sf_dir):
+    # EXACT similarity self-join via prefix filtering (AllPairs/PPJoin):
+    # only each doc's rarest |d|-ceil(t|d|)+1 shingles are indexed, so
+    # the quadratic candidate join runs on a t-proportional, df-hottest-
+    # excluded slice of the postings — lossless, unlike x5's df cap: the
+    # oracle is the UNCAPPED brute-force pair join and must match
+    # bit-for-bit.
+    from dirty_js_etl_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return prefix_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, jaccard_threshold=0.5
+    )
+
+
+@register(
+    "x166_mad_outliers",
+    """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, any_value(med) AS med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(m.med, 6) + 0.0 AS median,
+       round(m.mad, 6) + 0.0 AS mad,
+       CAST(count(*) FILTER (abs(d.value - m.med) > 3 * 1.4826 * m.mad)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, m.med, m.mad
+""",
+)
+def x166_mad_outliers(spark, sf_dir):
+    # Robust outlier audit: median/MAD (breakdown point 50%) instead of
+    # mean/stddev (x86, breakdown 0) — the screen a long-tailed metric
+    # column actually needs. Two grouped exact-percentile passes sharing
+    # the event_type shuffle, medians re-attached by a per-type join
+    # (5 types — AQE broadcasts); exact percentile needs the full group,
+    # at 100 TB swap percentile_approx like x40's note.
+    ev = _cat(spark, sf_dir).read("events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    out = (
+        ev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        (F.round("med", 6) + 0.0).alias("median"),
+        (F.round("mad", 6) + 0.0).alias("mad"),
+        "n_outliers",
+    )

@@ -184,3 +184,60 @@ def test_incremental_dedup_screens_corpus_and_batch(spark):
         r["doc_id"] for r in incremental_dedup(new, corpus).collect()
     )
     assert kept == [11, 13]
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_jaccard_equals_brute_force(spark, catalog):
+    from dirty_js_etl_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = catalog.read("documents")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_jaccard_pairs(
+            docs, "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    )
+    # uncapped brute force over the same shingles
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(word_shingles(F.col("text"), 3)).alias("g"),
+    )
+    sizes = base.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    l, r = base.alias("l"), base.alias("r")
+    inter = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
+    exp = sorted(
+        (r["id_a"], r["id_b"], r["j"])
+        for r in inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("j", F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 6))
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b", "j")
+        .collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_prefix_jaccard_planted_pair(spark):
+    from dirty_js_etl_spark.operators.dedup import prefix_jaccard_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = t.replace("kappa", "lambda")
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, t), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             prefix_jaccard_pairs(df, "doc_id", "text", jaccard_threshold=0.5).collect()}
+    assert pairs == {(1, 2)}
