@@ -223,21 +223,40 @@ def minhash_lsh_pairs(
     exploded = sh_base.select(
         "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
     )
-    ea = exploded.join(
+    return _count_based_verify(
+        cands, exploded, exploded, sizes, sizes, jaccard_threshold
+    )
+
+
+def _count_based_verify(
+    cands: DataFrame,
+    posts_a: DataFrame,
+    posts_b: DataFrame,
+    sizes_a: DataFrame,
+    sizes_b: DataFrame,
+    jaccard_threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs from narrow
+    ``(id, g)`` posting rows: intersections arrive as (id_a, id_b,
+    count) — shingle arrays never ship. Shared by the self-join LSH
+    path (both posting frames identical) and the incremental
+    batch-vs-corpus path (distinct frames). No broadcast hints: all
+    relations are data-scaled; AQE broadcasts at runtime when small."""
+    ea = posts_a.join(
         cands, F.col("id") == F.col("id_a")
     ).select("id_a", "id_b", "g")
     inter = (
         ea.alias("ea")
         .join(
-            exploded.alias("eb"),
+            posts_b.alias("eb"),
             (F.col("eb.id") == F.col("ea.id_b"))
             & (F.col("eb.g") == F.col("ea.g")),
         )
         .groupBy("ea.id_a", "ea.id_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
+    sa = sizes_a.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
+    sb = sizes_b.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
@@ -692,3 +711,135 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """``(id, band, bucket)`` LSH index rows for a corpus — the table a
+    production pipeline PERSISTS as its near-dup index (partitioned by
+    band/bucket) so daily ingests join against it instead of
+    recomputing corpus signatures. Same signature/banding parameters
+    must be used on both sides of any later join (seed included)."""
+    rows = num_perm // bands
+    sh_base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    sig_tbl = minhash_signature_table(sh_base, num_perm, seed)
+    buckets = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    "_", *[F.col(f"m{j * rows + i}") for i in range(rows)]
+                )
+            )
+            for j in range(bands)
+        ]
+    )
+    return sig_tbl.select("id", F.posexplode(buckets).alias("band", "bucket"))
+
+
+def incremental_minhash_pairs(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-dup screen of a NEW batch against an already-curated corpus
+    plus within-batch pairs — the MinHash complement of
+    :func:`incremental_dedup` (exact fingerprints). Returns
+    ``(id_a, id_b, jaccard, against)`` where ``against`` is
+    ``'corpus'`` (id_a = batch doc, id_b = corpus doc) or ``'batch'``
+    (both new, id_a < id_b).
+
+    The corpus×corpus join NEVER happens: candidates come from the
+    batch's band buckets probing the corpus band table (in production a
+    persisted index — :func:`minhash_band_table` — so the corpus side
+    is a partitioned read, not a recompute; here it is derived on the
+    fly from the corpus frame). Join cost scales with batch size ×
+    bucket hit rate, not corpus²; this is how a 100 TB curated corpus
+    admits a daily delta. Caller guarantees disjoint id spaces.
+    """
+    nb = minhash_band_table(
+        new_batch, id_col, text_col, shingle_k, num_perm, bands, seed
+    )
+    cb = minhash_band_table(
+        corpus, id_col, text_col, shingle_k, num_perm, bands, seed
+    )
+    # cap pathological buckets by their CORPUS population (the side
+    # that can be huge); the batch side additionally self-caps below
+    c_counts = cb.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cb = (
+        cb.join(c_counts, ["band", "bucket"])
+        .filter(F.col("__n") <= max_bucket_size)
+        .drop("__n")
+    )
+
+    def shingle_frames(df):
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        )
+        posts = sh.select(
+            "id",
+            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"),
+        )
+        return posts, sh.select("id", F.size("sh").alias("sz"))
+
+    new_posts, new_sizes = shingle_frames(new_batch)
+    cor_posts, cor_sizes = shingle_frames(corpus)
+
+    cross_cands = (
+        nb.alias("l")
+        .join(
+            cb.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    cross = _count_based_verify(
+        cross_cands, new_posts, cor_posts, new_sizes, cor_sizes,
+        jaccard_threshold,
+    ).withColumn("against", F.lit("corpus"))
+
+    n_counts = nb.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    nb_capped = (
+        nb.join(n_counts, ["band", "bucket"])
+        .filter(F.col("__n") <= max_bucket_size)
+        .drop("__n")
+    )
+    within_cands = (
+        nb_capped.alias("l")
+        .join(
+            nb_capped.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    within = _count_based_verify(
+        within_cands, new_posts, new_posts, new_sizes, new_sizes,
+        jaccard_threshold,
+    ).withColumn("against", F.lit("batch"))
+    return cross.unionByName(within)

@@ -7164,3 +7164,21 @@ def x166_mad_outliers(spark, sf_dir):
         (F.round("mad", 6) + 0.0).alias("mad"),
         "n_outliers",
     )
+
+
+@register("x167_incremental_minhash", None)  # LSH banding -> rows-only;
+# recall-vs-full-LSH and corpus-pair-exclusion pinned in test_dedup.py
+def x167_incremental_minhash(spark, sf_dir):
+    # Daily-ingest NEAR-dup screen: the new batch (doc_id % 10 == 0)
+    # probes the corpus's band-bucket index (minhash_band_table — the
+    # table a production pipeline persists) plus its own within-batch
+    # buckets; the corpus x corpus join never happens, so admission cost
+    # scales with the delta, not the 100 TB history. MinHash complement
+    # of x151's exact-fingerprint incremental dedup.
+    from dirty_js_etl_spark.operators.dedup import incremental_minhash_pairs
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return incremental_minhash_pairs(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    )

@@ -241,3 +241,57 @@ def test_prefix_jaccard_planted_pair(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              prefix_jaccard_pairs(df, "doc_id", "text", jaccard_threshold=0.5).collect()}
     assert pairs == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) MinHash screen
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_minhash_matches_full_lsh_restricted(spark, catalog):
+    from dirty_js_etl_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = catalog.read("documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    inc = incremental_minhash_pairs(batch, corpus)
+    got = {
+        (r["id_a"], r["id_b"], r["against"]) for r in inc.collect()
+    }
+    # no corpus-side ids ever appear as id_a in 'corpus' rows, and
+    # 'batch' rows are batch-only
+    for a, b, side in got:
+        if side == "corpus":
+            assert a % 10 == 0 and b % 10 != 0
+        else:
+            assert a % 10 == 0 and b % 10 == 0 and a < b
+    # recall vs the full self-join LSH restricted to pairs touching the
+    # batch: every full-LSH pair with >=1 batch doc must be found
+    full = minhash_lsh_pairs(docs, "doc_id", "text")
+    want = set()
+    for r in full.collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 10 == 0 and b % 10 == 0:
+            want.add((a, b, "batch"))
+        elif a % 10 == 0:
+            want.add((a, b, "corpus"))
+        elif b % 10 == 0:
+            want.add((b, a, "corpus"))
+    assert want <= got
+
+
+def test_incremental_minhash_planted_cross_dup(spark):
+    from dirty_js_etl_spark.operators.dedup import incremental_minhash_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    batch = spark.createDataFrame([(10, t), (20, "unrelated words entirely " * 6)],
+                                  "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, t), (2, "other corpus doc " * 8)],
+                                   "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"], r["against"], r["jaccard"])
+           for r in incremental_minhash_pairs(batch, corpus).collect()}
+    assert (10, 1, "corpus", 1.0) in got
+    assert all(a != 20 for a, _, _, _ in got)
