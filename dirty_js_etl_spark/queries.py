@@ -7182,3 +7182,60 @@ def x167_incremental_minhash(spark, sf_dir):
         docs.filter(F.col("doc_id") % 10 == 0),
         docs.filter(F.col("doc_id") % 10 != 0),
     )
+
+
+@register(
+    "x168_interval_overlap_join",
+    _X12_CTE.rstrip() + """,
+sessions AS (
+  SELECT user_id, CAST(user_id * 1000000 + session_seq AS BIGINT) AS session_id,
+         min(ts) AS session_start, max(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_id
+), bad_hours AS (
+  SELECT date_trunc('hour', ts) AS h
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING count(*) >= 6
+)
+SELECT s.session_id, CAST(count(*) AS BIGINT) AS n_bad_hours
+FROM sessions s JOIN bad_hours b
+  ON s.session_start <= b.h + INTERVAL 3599 SECOND
+ AND s.session_end >= b.h
+GROUP BY s.session_id
+""",
+)
+def x168_interval_overlap_join(spark, sf_dir):
+    # interval × interval OVERLAP join (x27 is point-in-interval): user
+    # sessions × globally error-heavy hours, via the two-sided bucket
+    # decomposition — both interval sets explode into covered hour
+    # buckets, equi-join on the bucket, exact predicate verifies, one
+    # DISTINCT collapses multi-bucket overlaps. Spark has no interval
+    # join operator; the naive spelling is a broadcast-nested-loop O(n·m).
+    from dirty_js_etl_spark.operators.events import session_stats
+    from dirty_js_etl_spark.operators.ranges import interval_overlap_join
+
+    events = _cat(spark, sf_dir).read("events")
+    sessions = session_stats(events, gap_minutes=30).select(
+        "session_id", "session_start", "session_end"
+    )
+    bad = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 6)
+        .select(
+            F.col("h").alias("h_start"),
+            (F.col("h") + F.expr("INTERVAL 3599 SECONDS")).alias("h_end"),
+        )
+    )
+    out = interval_overlap_join(
+        sessions,
+        bad,
+        on=None,
+        left_start="session_start",
+        left_end="session_end",
+        right_start="h_start",
+        right_end="h_end",
+    )
+    return out.groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n_bad_hours")
+    )

@@ -85,3 +85,60 @@ def test_no_nested_loop(spark, points, intervals):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Interval × interval overlap join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_semantics(spark):
+    from dirty_js_etl_spark.operators.ranges import interval_overlap_join
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    left = spark.createDataFrame(
+        [
+            (1, t(1, 0), t(3, 30)),   # spans 3 hour-buckets
+            (2, t(5, 0), t(5, 10)),   # inside one bucket
+            (3, t(8, 0), t(8, 5)),    # no partner
+        ],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(3, 15), t(4, 0)),  # overlaps 1 (3:15-3:30)
+            (20, t(5, 10), t(6, 0)),  # touches 2 at the endpoint
+            (30, t(9, 0), t(10, 0)),  # overlaps nothing
+        ],
+        "rid int, rs timestamp, re timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, on=None,
+        left_start="ls", left_end="le",
+        right_start="rs", right_end="re",
+    )
+    pairs = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert pairs == {(1, 10), (2, 20)}
+
+
+def test_interval_overlap_no_duplicate_pairs(spark):
+    from dirty_js_etl_spark.operators.ranges import interval_overlap_join
+    import datetime as dt
+
+    # both spans cover the same 5 hour-buckets -> candidate appears 5x,
+    # output must have it once
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 1, 4))],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 1, 4))],
+        "rid int, rs timestamp, re timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, on=None,
+        left_start="ls", left_end="le",
+        right_start="rs", right_end="re",
+    )
+    assert out.count() == 1
