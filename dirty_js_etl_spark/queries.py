@@ -6838,9 +6838,14 @@ def x161_tpch_q8(spark, sf_dir):
     region = cat.read("region").filter(F.col("r_name") == "ASIA")
     n1 = nation.alias("n1")
     n2 = nation.alias("n2")
+    # selective broadcast dims FIRST: the PROMO part filter keeps ~1/6
+    # of lineitem, so the one big-big exchange (⋈ orders) moves the
+    # reduced fact, not the full table — join order is the fact-table
+    # reduction rule Catalyst won't apply across a shuffle join on its
+    # own (measured: 2.33s → 1.0s at sf0.1)
     vol = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -7238,4 +7243,126 @@ def x168_interval_overlap_join(spark, sf_dir):
     )
     return out.groupBy("session_id").agg(
         F.count(F.lit(1)).alias("n_bad_hours")
+    )
+
+
+@register(
+    "x169_expectations",
+    """
+WITH base AS (SELECT * FROM orders)
+SELECT 'o_totalprice_positive' AS rule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+       sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) = 0 AS ok
+FROM base
+UNION ALL
+SELECT 'o_orderstatus_enum',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT),
+       sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) = 0
+FROM base
+UNION ALL
+SELECT 'o_custkey_not_null',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+       sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) = 0
+FROM base
+UNION ALL
+SELECT 'o_orderdate_in_range',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                      AND o_orderdate < TIMESTAMP '2000-01-01'
+                     THEN 0 ELSE 1 END) AS BIGINT),
+       sum(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                 AND o_orderdate < TIMESTAMP '2000-01-01'
+                THEN 0 ELSE 1 END) = 0
+FROM base
+UNION ALL
+SELECT 'unique_o_orderkey',
+       CAST(count(*) AS BIGINT),
+       CAST((SELECT coalesce(sum(c), 0) FROM (
+          SELECT count(*) AS c FROM base GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT),
+       (SELECT coalesce(sum(c), 0) FROM (
+          SELECT count(*) AS c FROM base GROUP BY o_orderkey HAVING count(*) > 1)) = 0
+FROM base
+""",
+)
+def x169_expectations(spark, sf_dir):
+    # Declarative validation gate: 4 row-level rules fold into ONE scan
+    # / one conditional-aggregation pass (adding a rule adds a column,
+    # not a job); the key-uniqueness rule is the one extra key-shuffled
+    # agg. NULL predicate = violation (conservative gate contract).
+    from dirty_js_etl_spark.operators.expectations import (
+        Expectation,
+        not_null,
+        unique_key,
+        validate,
+    )
+
+    orders = _cat(spark, sf_dir).read("orders")
+    rules = [
+        Expectation("o_totalprice_positive", F.col("o_totalprice") > 0),
+        Expectation(
+            "o_orderstatus_enum", F.col("o_orderstatus").isin("F", "O", "P")
+        ),
+        not_null("o_custkey"),
+        Expectation(
+            "o_orderdate_in_range",
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")),
+        ),
+        unique_key("o_orderkey"),
+    ]
+    return validate(orders, rules)
+
+
+@register(
+    "x170_period_over_period",
+    """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, rev_cents,
+       lag(rev_cents) OVER (ORDER BY month) AS prev_cents,
+       rev_cents - lag(rev_cents) OVER (ORDER BY month) AS delta_cents,
+       CASE WHEN lag(rev_cents) OVER (ORDER BY month) > 0 THEN
+         CAST(trunc(((rev_cents - lag(rev_cents) OVER (ORDER BY month)) * 10000)
+              / CAST(lag(rev_cents) OVER (ORDER BY month) AS DOUBLE)) AS BIGINT)
+       END AS mom_bps
+FROM m
+""",
+)
+def x170_period_over_period(spark, sf_dir):
+    # BI staple: month-over-month revenue deltas, integer-exact (cents
+    # + floor-division bps — no float drift across engines). The lag
+    # window runs over the MONTH-grain relation (<= 12·years rows after
+    # the one grouped shuffle), so the unpartitioned window sorts a
+    # calendar-bounded, data-independent row count — not the fact table.
+    from pyspark.sql import Window
+
+    orders = _cat(spark, sf_dir).read("orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("month")
+    base = m.withColumn("prev_cents", F.lag("rev_cents").over(w))
+    # Spark's double→bigint CAST truncates toward zero (the oracle
+    # spells CAST(trunc(...)) because DuckDB's CAST rounds — the
+    # module-header rule)
+    bps = F.expr(
+        "CAST((rev_cents - prev_cents) * 10000"
+        " / CAST(prev_cents AS DOUBLE) AS BIGINT)"
+    )
+    return base.select(
+        "month",
+        "rev_cents",
+        "prev_cents",
+        (F.col("rev_cents") - F.col("prev_cents")).alias("delta_cents"),
+        F.when(F.col("prev_cents") > 0, bps).alias("mom_bps"),
     )
