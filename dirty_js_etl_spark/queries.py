@@ -7366,3 +7366,29 @@ def x170_period_over_period(spark, sf_dir):
         (F.col("rev_cents") - F.col("prev_cents")).alias("delta_cents"),
         F.when(F.col("prev_cents") > 0, bps).alias("mom_bps"),
     )
+
+
+@register("x171_asof_bucketed", _X21_SQL)
+def x171_asof_bucketed(spark, sf_dir):
+    # the SKEW-PROOF as-of: same session-assignment semantics (and the
+    # same DuckDB ASOF JOIN oracle) as x21, but windows partition on
+    # (user, time-bucket) instead of (user) — a whale user's sort is
+    # bounded by its per-bucket rows; earlier buckets hand their latest
+    # session forward through one bucket-grain window per key.
+    from dirty_js_etl_spark.operators.asof import asof_join_bucketed
+    from dirty_js_etl_spark.operators.events import session_stats
+
+    events = _cat(spark, sf_dir).read("events")
+    sessions = session_stats(events, gap_minutes=30).select(
+        "user_id", "session_start", "session_id"
+    )
+    out = asof_join_bucketed(
+        events.select("event_id", "user_id", "ts"),
+        sessions,
+        on="user_id",
+        left_time="ts",
+        right_time="session_start",
+        payload_cols=["session_id"],
+        bucket_seconds=6 * 3600,
+    )
+    return out.select("event_id", "user_id", "session_id")

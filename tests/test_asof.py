@@ -195,3 +195,57 @@ def test_tolerance_zero_keeps_exact_ties_only(spark, quotes, trades):
     got = {(r["k"], r["t"]): r["q"] for r in out.collect()}
     assert got[(1, 10)] == "a"  # exact-time snapshot survives tol=0
     assert got[(1, 15)] is None and got[(1, 25)] is None
+
+
+def test_bucketed_equals_plain_asof(spark, catalog):
+    from dirty_js_etl_spark.operators.asof import asof_join, asof_join_bucketed
+    from dirty_js_etl_spark.operators.events import session_stats
+
+    events = catalog.read("events")
+    sessions = session_stats(events, gap_minutes=30).select(
+        "user_id", "session_start", "session_id"
+    )
+    left = events.select("event_id", "user_id", "ts")
+    kw = dict(on="user_id", left_time="ts", right_time="session_start",
+              payload_cols=["session_id"])
+    plain = asof_join(left, sessions, **kw)
+    # bucket small enough that boundary handoff is exercised constantly
+    bucketed = asof_join_bucketed(left, sessions, bucket_seconds=900, **kw)
+    a = sorted((r["event_id"], r["session_id"]) for r in plain.collect())
+    b = sorted((r["event_id"], r["session_id"]) for r in bucketed.collect())
+    assert a == b
+
+
+def test_bucketed_semantics_and_ties(spark, quotes, trades):
+    from dirty_js_etl_spark.operators.asof import asof_join_bucketed
+
+    # bucket of 8 s splits the int-second timeline across buckets;
+    # includes empty-bucket handoff (trade@99 reaches back to quote@15)
+    out = asof_join_bucketed(
+        trades, quotes, on="k", left_time="t", right_time="t",
+        bucket_seconds=8,
+    )
+    got = {(r["k"], r["t"]): r["q"] for r in out.collect()}
+    assert got == {
+        (1, 5): None,
+        (1, 10): "a",
+        (1, 15): "a",
+        (1, 25): "b",
+        (2, 14): None,
+        (2, 99): "x",
+    }
+
+
+def test_bucketed_tiebreak_smallest_wins(spark):
+    from dirty_js_etl_spark.operators.asof import asof_join_bucketed
+
+    right = spark.createDataFrame(
+        [(1, 10, 7, "late"), (1, 10, 3, "early")],
+        "k int, t int, rid int, q string",
+    )
+    left = spark.createDataFrame([(1, 11)], "k int, t int")
+    out = asof_join_bucketed(
+        left, right, on="k", left_time="t", right_time="t",
+        payload_cols=["q"], tiebreak_cols=["rid"], bucket_seconds=4,
+    )
+    assert out.collect()[0]["q"] == "early"
