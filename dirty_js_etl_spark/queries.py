@@ -4721,12 +4721,18 @@ def x112_udtf_chunk(spark, sf_dir):
     # Python UDTF (Spark 4 table function): one doc row in, N chunk
     # rows out, consumed via LATERAL join -- the API for custom
     # row-GENERATING logic (parsers, tokenizers, samplers) that scalar
-    # UDFs can't express.  Row-at-a-time Python is the slow path: the
-    # preferred scale implementation of this exact transform is x85's
-    # explode/codegen; this exists to keep the UDTF surface tested.
+    # UDFs can't express.  useArrow=True plans ArrowEvalPythonUDTF
+    # (Arrow-batched exchange with the Python worker) instead of
+    # row-pickling BatchEvalPython — caught by the registry-wide plan
+    # lint (test_plans.py). The preferred scale implementation of this
+    # exact transform is still x85's explode/codegen; this keeps the
+    # UDTF surface tested on its fast path.
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_id int, chunk_text string, n_tokens int")
+    @udtf(
+        returnType="chunk_id int, chunk_text string, n_tokens int",
+        useArrow=True,
+    )
     class Chunker:
         def eval(self, text: str):
             toks = " ".join((text or "").lower().strip().split()).split(" ")

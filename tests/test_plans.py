@@ -272,3 +272,35 @@ def test_hll_wau_slides_on_sketch_table(spark):
     # broadcast of the calendar-sized side), never re-shuffling events
     plan = _plan(spark, "x154_rolling_hll_wau")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_registry_wide_no_cartesian_no_rowwise_python(spark):
+    """Sweep EVERY registered query's physical plan for the two
+    patterns that are always wrong at 100 TB: a CartesianProduct (an
+    unkeyed all-pairs join that slipped past the bucket/broadcast
+    decompositions) and BatchEvalPython (a row-at-a-time Python UDF in
+    the plan — Python is allowed only Arrow-batched: ArrowEvalPython /
+    mapInPandas / FlatMapGroupsInPandas). Queries that DRAIN work at
+    build time (streaming foreachBatch, iterative trainers) are
+    excluded here — their execution behavior is pinned by their own
+    tests — so this stays a plan-only sweep."""
+    from dirty_js_etl_spark.queries import all_queries
+
+    skip_prefixes = ("x14_", "x17_", "x31_", "x59_", "x62_", "x80_",
+                     "x94_", "x109_", "x150_", "x164_")  # run streams
+    skip_exact = {
+        "x132_kmeans_clusters",   # iterative trainer (jobs at build)
+        "x156_bpe_vocab",         # iterative trainer
+        "x18_ivf_topk",           # k-means cell build
+        "x148_semantic_dedup",    # sampled k-means build
+    }
+    bad = {}
+    for name, fn in all_queries().items():
+        if name.startswith(skip_prefixes) or name in skip_exact:
+            continue
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"scale-hostile plan operators: {bad}"
