@@ -7398,3 +7398,5 @@ def x171_asof_bucketed(spark, sf_dir):
         bucket_seconds=6 * 3600,
     )
     return out.select("event_id", "user_id", "session_id")
+
+

@@ -1,0 +1,130 @@
+"""Arbitrary stateful streaming via ``transformWithStateInPandas`` —
+Spark 4's successor to ``applyInPandasWithState`` (the sessionizer's
+API, ``streaming/sessions.py``), with typed composable state (value /
+list / map), TTL, and timers, backed by the RocksDB state store.
+
+Operator here: per-user RUNNING PURCHASE TOTAL — the canonical
+"lifetime aggregate" a CDC/metrics pipeline maintains incrementally.
+Money is accumulated in integer cents inside a ValueState, so the
+running value is exact and engine-portable: when the finite fixture
+stream drains, the last emission per user equals the batch
+``SUM(round(value*100))`` — the oracle check (x172).
+
+Scale design: state is ONE long per user (RocksDB-spillable, not
+heap-bound); the shuffle is the per-key grouping every stateful op
+pays; emissions are per-batch per-active-key (update mode), so
+downstream writes scale with activity, not user count. TTL/timers are
+the API's story for bounding dormant keys — a real deployment sets
+``ttlDurationMs`` on the value state; the fixture run keeps state
+unbounded because the stream is finite.
+
+ENVIRONMENT BOUNDARY: ``transformWithStateInPandas`` talks to the
+Python state server over protobuf, and this container's
+``google.protobuf`` is not importable — the operator raises
+``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` here, so it is NOT
+registered as a driver query (the stateful-streaming surface the
+driver verifies is the ``applyInPandasWithState`` sessionizer, x17).
+The code is complete and the test (``tests/test_streaming_state.py``)
+runs wherever protobuf is available; on this box it skips with the
+exact reason.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+OUTPUT_SCHEMA = "user_id bigint, total_cents bigint"
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class RunningTotalProcessor(StatefulProcessor):
+    """ValueState[cents] per user; emits the post-batch running total."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._total = handle.getValueState("total", "cents bigint")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: Any
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        total = self._total.get()[0] if self._total.exists() else 0
+        for pdf in rows:
+            total += int(pdf["cents"].sum())
+        self._total.update((total,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_cents": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Wire the processor over a (possibly streaming) events frame:
+    purchases → integer cents → per-user transformWithState."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", cents.alias("cents")
+    )
+    return purchases.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_stream_running_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_running_totals",
+) -> DataFrame:
+    """Drain the fixture stream; return the FINAL running total per
+    user (last emission wins — with in-order batches this equals the
+    batch sum)."""
+    from pyspark.sql import Window
+
+    from dirty_js_etl_spark.streaming.events import read_events_stream
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    try:
+        out = running_totals_stream(read_events_stream(spark, sf_dir))
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+    emitted = spark.table(query_name).withColumn(
+        "__seq", F.monotonically_increasing_id()
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("__seq").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "total_cents")
+    )
