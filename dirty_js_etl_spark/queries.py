@@ -7400,3 +7400,41 @@ def x171_asof_bucketed(spark, sf_dir):
     return out.select("event_id", "user_id", "session_id")
 
 
+
+
+@register(
+    "x173_hierarchy_flatten",
+    """
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey <= 1 THEN NULL ELSE c_custkey // 2 END AS parent
+  FROM customer
+), walk AS (
+  SELECT id AS node, id AS cur, 0 AS depth FROM edges
+  UNION ALL
+  SELECT w.node, e.parent AS cur, w.depth + 1
+  FROM walk w JOIN edges e ON w.cur = e.id
+  WHERE e.parent IS NOT NULL
+)
+SELECT node AS id, arg_max(cur, depth) AS root, CAST(max(depth) AS INT) AS depth
+FROM walk GROUP BY node
+""",
+)
+def x173_hierarchy_flatten(spark, sf_dir):
+    # hierarchy flattening by POINTER DOUBLING: every round each node's
+    # pointer jumps to its target's pointer, so a depth-D chain
+    # converges in ceil(log2 D) join rounds — the oracle is the
+    # unbounded recursive CTE walking the same parent table one hop at
+    # a time. Parent relation: custkey -> custkey // 2 (a binary tree
+    # over the customer dimension, treated as an opaque edge table —
+    # the operator never exploits the arithmetic).
+    from dirty_js_etl_spark.operators.hierarchy import flatten_hierarchy
+
+    customer = _cat(spark, sf_dir).read("customer")
+    edges = customer.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") <= 1, F.lit(None).cast("long"))
+        .otherwise(F.expr("c_custkey div 2"))
+        .alias("parent"),
+    )
+    return flatten_hierarchy(edges, "id", "parent")
