@@ -7438,3 +7438,57 @@ def x173_hierarchy_flatten(spark, sf_dir):
         .alias("parent"),
     )
     return flatten_hierarchy(edges, "id", "parent")
+
+
+_X174_B_SQL = """
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         CASE WHEN c_custkey % 97 = 3 THEN 'DIVERGED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer WHERE c_custkey % 101 <> 7
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 103 = 5
+"""
+
+
+@register(
+    "x174_replica_reconcile",
+    f"""
+WITH b AS ({_X174_B_SQL})
+SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN b.c_custkey IS NULL THEN 'only_left'
+            WHEN a.c_custkey IS NULL THEN 'only_right'
+            ELSE 'modified' END AS status
+FROM customer a FULL JOIN b ON a.c_custkey = b.c_custkey
+WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+   OR (a.c_name IS DISTINCT FROM b.c_name
+    OR a.c_nationkey IS DISTINCT FROM b.c_nationkey
+    OR a.c_acctbal IS DISTINCT FROM b.c_acctbal
+    OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment)
+""",
+)
+def x174_replica_reconcile(spark, sf_dir):
+    # Anti-entropy replica diff: both copies fold to <=1024 segment
+    # digests (map-only hash + one segment-keyed agg); only segments
+    # whose digests disagree reach the row-level full-outer compare —
+    # at parity the network cost is 2x1024 digest rows regardless of
+    # table size. Replica B injects deterministic deletions (%101=7),
+    # modifications (%97=3) and insertions (%103=5); the oracle is the
+    # EXHAUSTIVE full-outer diff, so fixture runs also certify no
+    # digest collision.
+    from dirty_js_etl_spark.operators.reconcile import reconcile
+
+    a = _cat(spark, sf_dir).read("customer")
+    modified = F.when(
+        F.col("c_custkey") % 97 == 3, F.lit("DIVERGED")
+    ).otherwise(F.col("c_mktsegment"))
+    b = (
+        a.filter(F.col("c_custkey") % 101 != 7)
+        .withColumn("c_mktsegment", modified)
+        .unionByName(
+            a.filter(F.col("c_custkey") % 103 == 5).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    return reconcile(a, b, "c_custkey")
