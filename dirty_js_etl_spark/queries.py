@@ -7492,3 +7492,90 @@ def x174_replica_reconcile(spark, sf_dir):
         )
     )
     return reconcile(a, b, "c_custkey")
+
+
+@register(
+    "x175_phrase_search",
+    f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_transform(string_split({_NORM_SQL}, ' '),
+           (t, i) -> struct_pack(t := t, pos := CAST(i - 1 AS INT)))) AS w
+  FROM documents
+), a AS (
+  SELECT doc_id, w.pos AS pos FROM tok WHERE w.t = 'merge'
+), b AS (
+  SELECT doc_id, w.pos AS pos FROM tok WHERE w.t = 'scan'
+)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(a.pos) AS INT) AS first_pos
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+""",
+)
+def x175_phrase_search(spark, sf_dir):
+    # PHRASE search ("merge scan" as adjacent tokens) over a positional
+    # inverted index: postings carry (doc, pos); the phrase is an
+    # equi-join on (doc, pos+1) between the two term posting lists —
+    # the classic positional-postings intersection, shuffling only the
+    # two terms' postings (term-selective), never the corpus. x97 is
+    # the AND (bag-of-words) form; this is the ordered form.
+    docs = _cat(spark, sf_dir).read("documents")
+    from dirty_js_etl_spark.operators.text import normalize_text
+
+    toks = F.split(normalize_text(F.col("text")), " ")
+    posting = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "t")
+    )
+    a = posting.filter(F.col("t") == "merge").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = posting.filter(F.col("t") == "scan").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, (a.doc_id == b.doc_id) & (b.pb == a.pa + 1))
+        .groupBy(a.doc_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pa").cast("int").alias("first_pos"),
+        )
+    )
+
+
+@register(
+    "x176_scd2_time_travel",
+    """
+WITH hist AS (
+  SELECT user_id, value, ts AS valid_from,
+         lead(ts) OVER w AS valid_to
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, value, valid_from
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+""",
+)
+def x176_scd2_time_travel(spark, sf_dir):
+    # AS-OF-timestamp snapshot reconstruction from the SCD2 history
+    # (x44): the row version whose validity interval covers T — the
+    # query every point-in-time ML feature backfill runs. One
+    # key-partitioned window builds the history; the snapshot filter is
+    # map-side. (On Delta/Iceberg this maps to native time travel; over
+    # plain parquet the SCD2 relation IS the time machine.)
+    from dirty_js_etl_spark.operators.scd import scd2_history
+
+    events = _cat(spark, sf_dir).read("events")
+    t = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    hist = scd2_history(
+        events.filter(F.col("event_type") == "purchase"),
+        key_col="user_id",
+        ts_col="ts",
+        value_cols=["value"],
+        tie_break="event_id",
+    )
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "value", "valid_from")
