@@ -73,10 +73,13 @@ def _ranged(df: DataFrame, order_by: list, num_partitions: int | None) -> DataFr
     )
 
 
-def _offsets(t: DataFrame, agg: Column) -> DataFrame:
+def _offsets(t: DataFrame, agg: Column, combine=None) -> DataFrame:
     """(pid, running-offset-before-pid, grand-total) — one row per range
     partition; the unpartitioned windows here order ``num_partitions``
-    rows, not data."""
+    rows, not data. ``combine`` re-aggregates the per-partition values
+    across partitions (default: sum; pass ``F.max`` for prefix-max —
+    any associative aggregate works); sum offsets coalesce to 0, other
+    combiners keep NULL for "no earlier partition"."""
     per = t.groupBy(_PID).agg(agg.alias("__p"))
     # deliberately ONE window partition — it holds at most
     # num_partitions rows. The partition key is pmod(pid, 1) (always 0)
@@ -88,12 +91,14 @@ def _offsets(t: DataFrame, agg: Column) -> DataFrame:
     w_all = one.orderBy(_PID).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    zero = F.lit(0).cast("bigint")
-    return per.select(
-        _PID,
-        F.coalesce(F.sum("__p").over(w_prev), zero).alias(_OFS),
-        F.sum("__p").over(w_all).alias(_TOT),
-    )
+    if combine is None:
+        zero = F.lit(0).cast("bigint")
+        prev = F.coalesce(F.sum("__p").over(w_prev), zero)
+        total = F.sum("__p").over(w_all)
+    else:
+        prev = combine(F.col("__p")).over(w_prev)
+        total = combine(F.col("__p")).over(w_all)
+    return per.select(_PID, prev.alias(_OFS), total.alias(_TOT))
 
 
 def with_global_prefix_sum(
@@ -177,4 +182,39 @@ def with_global_ntile(
     )
     return out.withColumn(out_col, (bucket + 1).cast("int")).drop(
         rn, tot, "__gord_small", "__gord_big", "__gord_cut"
+    )
+
+
+def with_global_prefix_max(
+    df: DataFrame,
+    order_by: list,
+    value_col: str | Column,
+    out_col: str,
+    strictly_earlier: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``max(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING [AND 1
+    PRECEDING])`` as a range-partitioned parallel plan — same two-level
+    shape as :func:`with_global_prefix_sum` (max is associative): a
+    per-partition running max plus a broadcast of each partition's
+    strictly-earlier-partitions max (the ≤ num_partitions offset
+    table). With ``strictly_earlier`` the first global row gets NULL —
+    the "max event time seen BEFORE me" semantics a stream lateness
+    profile needs (x177)."""
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    t = _ranged(df, order_by, num_partitions)
+    end = -1 if strictly_earlier else Window.currentRow
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*_as_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = t.withColumn("__loc", F.max(val).over(w_local))
+    ofs = _offsets(t, F.max(val), combine=F.max)
+    return (
+        local.join(F.broadcast(ofs), _PID)
+        # greatest() ignores NULL operands, so partition-edge rows with
+        # no local predecessor fall back to the earlier-partitions max
+        .withColumn(out_col, F.greatest(F.col("__loc"), F.col(_OFS)))
+        .drop("__loc", _PID, _OFS, _TOT)
     )

@@ -7579,3 +7579,63 @@ def x176_scd2_time_travel(spark, sf_dir):
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("user_id", "value", "valid_from")
+
+
+@register(
+    "x177_lateness_profile",
+    """
+WITH arr AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_prev
+  FROM events
+), late AS (
+  SELECT event_type,
+         greatest(0, epoch_us(max_prev) - epoch_us(ts)) AS late_us
+  FROM arr WHERE max_prev IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(trunc(quantile_cont(late_us, 0.5)) AS BIGINT) AS p50_late_us,
+       CAST(trunc(quantile_cont(late_us, 0.95)) AS BIGINT) AS p95_late_us,
+       CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS late_1h_bps
+FROM late GROUP BY event_type
+""",
+)
+def x177_lateness_profile(spark, sf_dir):
+    # Out-of-orderness profile of the event stream — the measurement
+    # that SIZES a watermark: per event, how far behind the max event
+    # time already seen (arrival order = event_id) it arrived; then
+    # p50/p95 lateness and the share beyond 1 h per type. The running
+    # max over arrival order is inherently global, so it rides the
+    # range-partitioned two-level ranking plan (`ranking.py`, the
+    # round-3 departitioning machinery): per-partition running max +
+    # a broadcast ≤ num_partitions offset table of strictly-earlier
+    # partition maxima — no data-sized single-partition sort.
+    from dirty_js_etl_spark.operators.ranking import with_global_prefix_max
+
+    ev = _cat(spark, sf_dir).read("events").select(
+        "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    arr = with_global_prefix_max(
+        ev, ["event_id"], "ts", "__max_prev", strictly_earlier=True
+    )
+    late = arr.filter(F.col("__max_prev").isNotNull()).select(
+        "event_type",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.unix_micros("__max_prev") - F.unix_micros("ts"),
+        ).alias("late_us"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("CAST(percentile(late_us, 0.5) AS BIGINT)").alias("p50_late_us"),
+        F.expr("CAST(percentile(late_us, 0.95) AS BIGINT)").alias("p95_late_us"),
+        F.expr(
+            "CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)"
+            " * 10000 DIV count(*) AS BIGINT)"
+        ).alias("late_1h_bps"),
+    )

@@ -93,3 +93,25 @@ def test_plan_has_no_data_sized_global_window(keyed):
     from dirty_js_etl_spark.operators.ranking import _ranged
 
     assert _ranged(keyed, ["k", "id"], 13).rdd.getNumPartitions() == 13
+
+
+def test_global_prefix_max_matches_single_window(spark, catalog):
+    from pyspark.sql import Window as W
+
+    from dirty_js_etl_spark.operators.ranking import with_global_prefix_max
+
+    ev = catalog.read("events").select("event_id", "ts").limit(2000)
+    got = with_global_prefix_max(
+        ev, ["event_id"], "ts", "m", strictly_earlier=True, num_partitions=7
+    )
+    ref = ev.withColumn(
+        "m",
+        F.max("ts").over(
+            W.orderBy("event_id").rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    a = sorted((r["event_id"], r["m"]) for r in got.collect())
+    b = sorted((r["event_id"], r["m"]) for r in ref.collect())
+    assert a == b
+    # first row in arrival order has no predecessor
+    assert a[0][1] is None
