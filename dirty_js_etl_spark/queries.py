@@ -7639,3 +7639,99 @@ def x177_lateness_profile(spark, sf_dir):
             " * 10000 DIV count(*) AS BIGINT)"
         ).alias("late_1h_bps"),
     )
+
+
+@register(
+    "x178_seasonal_naive_backtest",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), joined AS (
+  SELECT a.event_type, a.day, a.n,
+         f.n AS forecast,          -- seasonal naive: same weekday last week
+         p.n AS naive1             -- naive-1: yesterday
+  FROM daily a
+  JOIN daily f ON f.event_type = a.event_type AND f.day = a.day - 7
+  JOIN daily p ON p.event_type = a.event_type AND p.day = a.day - 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(n - forecast)) AS BIGINT) AS snaive_abs_err,
+       CAST(sum(abs(n - naive1)) AS BIGINT) AS naive1_abs_err,
+       CAST(sum(abs(n - forecast)) AS DOUBLE)
+         / CAST(sum(abs(n - naive1)) AS DOUBLE) AS mase
+FROM joined GROUP BY event_type
+""",
+)
+def x178_seasonal_naive_backtest(spark, sf_dir):
+    # Forecasting-baseline backtest: seasonal-naive (same weekday last
+    # week) vs naive-1 (yesterday) on daily event counts — MASE (the
+    # standard scale-free forecast error) as one double division of
+    # integer-exact absolute-error sums. All joins are on the
+    # CALENDAR-GRAIN relation (days x types after the one groupBy
+    # shuffle), so evaluation cost is data-independent past the first
+    # aggregation. Extending the same skeleton to real models means
+    # swapping the forecast column; the evaluation plumbing is the
+    # reusable part.
+    ev = _cat(spark, sf_dir).read("events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    f = daily.select(
+        F.col("event_type").alias("fe"),
+        F.date_add("day", 7).alias("fd"),
+        F.col("n").alias("forecast"),
+    )
+    p = daily.select(
+        F.col("event_type").alias("pe"),
+        F.date_add("day", 1).alias("pd"),
+        F.col("n").alias("naive1"),
+    )
+    j = daily.join(
+        f, (daily.event_type == f.fe) & (daily.day == f.fd)
+    ).join(p, (daily.event_type == p.pe) & (daily.day == p.pd))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("n") - F.col("forecast"))).alias("snaive_abs_err"),
+        F.sum(F.abs(F.col("n") - F.col("naive1"))).alias("naive1_abs_err"),
+        (
+            F.sum(F.abs(F.col("n") - F.col("forecast"))).cast("double")
+            / F.sum(F.abs(F.col("n") - F.col("naive1"))).cast("double")
+        ).alias("mase"),
+    )
+
+
+@register(
+    "x179_grouped_kfold",
+    """
+WITH fold_of AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 5 AS INT) AS fold
+  FROM events
+)
+SELECT f.fold,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN fold_of f ON e.user_id = f.user_id
+GROUP BY f.fold
+""",
+)
+def x179_grouped_kfold(spark, sf_dir):
+    # GROUP-aware k-fold assignment: every row of a user lands in the
+    # same fold (hash of the GROUP key, not the row id), the split that
+    # prevents train/test leakage through correlated rows — the ML
+    # staple x41's row-level split cannot provide. Deterministic,
+    # partition-invariant, engine-portable md5 bucketing; fold
+    # assignment is a map-side expression on the fact table (no join
+    # needed in production — the query's join exists only to mirror the
+    # oracle's DISTINCT spelling cheaply at fixture scale).
+    from dirty_js_etl_spark.operators.splits import hash_bucket
+
+    ev = _cat(spark, sf_dir).read("events")
+    with_fold = ev.withColumn("fold", hash_bucket(F.col("user_id"), 5))
+    return with_fold.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
