@@ -7735,3 +7735,89 @@ def x179_grouped_kfold(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "x180_negative_sampling",
+    """
+WITH purchased AS (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey AS part_id
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), n_parts AS (
+  SELECT count(*) AS n FROM part
+), probes AS (
+  SELECT p.user_id, s.slot,
+         CAST(CAST('0x' || substring(md5(p.user_id || ':' || s.slot), 1, 8)
+              AS BIGINT) % (SELECT n FROM n_parts) AS BIGINT) AS cand
+  FROM (SELECT DISTINCT user_id FROM purchased) p,
+       (SELECT UNNEST(range(12)) AS slot) s
+), negatives AS (
+  SELECT pr.user_id, pr.cand AS part_id, min(pr.slot) AS slot
+  FROM probes pr LEFT JOIN purchased pu
+    ON pu.user_id = pr.user_id AND pu.part_id = pr.cand
+  WHERE pu.part_id IS NULL
+  GROUP BY pr.user_id, pr.cand
+), ranked AS (
+  SELECT user_id, part_id, slot,
+         row_number() OVER (PARTITION BY user_id ORDER BY slot, part_id) AS rn
+  FROM negatives
+)
+SELECT user_id, part_id, CAST(slot AS INT) AS slot
+FROM ranked WHERE rn <= 5
+""",
+)
+def x180_negative_sampling(spark, sf_dir):
+    # Deterministic NEGATIVE sampling for recommender training: per
+    # user, 5 pseudo-random parts they never purchased. 12 hash probes
+    # per user materialize map-side (explode of a 12-literal sequence —
+    # no candidate×catalog cross join), the anti join against the
+    # purchase set is the one data shuffle, and the keep-k is a
+    # per-user window. Engine-portable md5 probing means the SAMPLE
+    # ITSELF is reproducible across engines (the oracle builds the
+    # identical one) and across reruns — the property a training
+    # pipeline needs for resumability. Probe-set sizing: 12 probes for
+    # k=5 keeps P(fewer than 5 survivors) negligible at this
+    # catalog/purchase density; production sizes m by the user's
+    # purchase share of the catalog.
+    cat = _cat(spark, sf_dir)
+    orders = cat.read("orders").select("o_custkey", "o_orderkey")
+    li = cat.read("lineitem").select("l_orderkey", "l_partkey")
+    purchased = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("part_id"),
+        )
+        .distinct()
+    )
+    n_parts = cat.read("part").count()  # scalar catalog size (bounded)
+    users = purchased.select("user_id").distinct()
+    hex8 = F.substring(
+        F.md5(F.concat_ws(":", F.col("user_id"), F.col("slot"))), 1, 8
+    )
+    probes = users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("slot"),
+    ).select(
+        "user_id",
+        "slot",
+        (F.conv(hex8, 16, 10).cast("bigint") % n_parts).alias("cand"),
+    )
+    negatives = (
+        probes.join(
+            purchased,
+            (probes.user_id == purchased.user_id)
+            & (probes.cand == purchased.part_id),
+            "left_anti",
+        )
+        .groupBy("user_id", F.col("cand").alias("part_id"))
+        .agg(F.min("slot").alias("slot"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("slot", "part_id")
+    return (
+        negatives.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "part_id", F.col("slot").cast("int").alias("slot"))
+    )
