@@ -7724,9 +7724,9 @@ def x179_grouped_kfold(spark, sf_dir):
     # prevents train/test leakage through correlated rows — the ML
     # staple x41's row-level split cannot provide. Deterministic,
     # partition-invariant, engine-portable md5 bucketing; fold
-    # assignment is a map-side expression on the fact table (no join
-    # needed in production — the query's join exists only to mirror the
-    # oracle's DISTINCT spelling cheaply at fixture scale).
+    # assignment is a pure map-side expression on the fact table — no
+    # join anywhere (the oracle routes through a DISTINCT-users CTE
+    # only because SQL needs a relation to attach the bucket to).
     from dirty_js_etl_spark.operators.splits import hash_bucket
 
     ev = _cat(spark, sf_dir).read("events")
