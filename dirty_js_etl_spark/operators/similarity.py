@@ -559,3 +559,47 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def rademacher_matrix(in_dim: int, out_dim: int, seed: int = 42) -> list[list[int]]:
+    """Seeded ±1 (Rademacher) projection matrix, generated driver-side
+    and embedded as plan literals — deterministic on every executor and
+    reproducible by any other engine from the same seed."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        [1 if rnd.random() < 0.5 else -1 for _ in range(in_dim)]
+        for _ in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out_dim`` seeded ±1 directions — the standard
+    pre-ANN compression (Achlioptas 2003: ±1 entries preserve pairwise
+    distances in expectation like Gaussian projections, with integer
+    arithmetic). Map-only: each output dim is one JVM fold over the
+    vector against a literal row of the matrix; no shuffle, no UDF —
+    100 TB of embeddings project in the scan stage. Adds columns
+    ``p0..p{out_dim-1}`` (unnormalized; scale by 1/sqrt(out_dim) when
+    distances must be comparable to the original space).
+    """
+    mat = rademacher_matrix(in_dim, out_dim, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df
+    for j, row in enumerate(mat):
+        lits = F.array(*[F.lit(float(e)) for e in row])
+        dot = F.aggregate(
+            F.zip_with(v, lits, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"p{j}", dot)
+    return out

@@ -7821,3 +7821,38 @@ def x180_negative_sampling(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("user_id", "part_id", F.col("slot").cast("int").alias("slot"))
     )
+
+
+def _x181_oracle_sql() -> str:
+    from dirty_js_etl_spark.operators.similarity import rademacher_matrix
+
+    mat = rademacher_matrix(64, 8, 42)
+    cols = ",\n       ".join(
+        "round(list_dot_product(v, ["
+        + ", ".join(str(float(e)) for e in row)
+        + f"]), 6) + 0.0 AS p{j}"
+        for j, row in enumerate(mat)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)\n"
+        f"SELECT vec_id,\n       {cols}\nFROM e"
+    )
+
+
+@register("x181_random_projection", _x181_oracle_sql())
+def x181_random_projection(spark, sf_dir):
+    # Johnson–Lindenstrauss pre-ANN compression: 64-dim embeddings onto
+    # 8 seeded Rademacher (±1) directions — map-only JVM folds against
+    # plan-literal matrix rows, no shuffle/UDF, so 100 TB of vectors
+    # project inside the scan stage. The seed makes the matrix
+    # reproducible by ANY engine: the oracle rebuilds the identical
+    # projection from the same seed (same driver-side generator).
+    from dirty_js_etl_spark.operators.similarity import random_projection
+
+    emb = _cat(spark, sf_dir).read("embeddings")
+    out = random_projection(emb, "embedding", in_dim=64, out_dim=8, seed=42)
+    return out.select(
+        "vec_id",
+        *[(F.round(F.col(f"p{j}"), 6) + 0.0).alias(f"p{j}") for j in range(8)],
+    )

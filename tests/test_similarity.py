@@ -162,3 +162,60 @@ class TestKMeans:
         i1 = kmeans_inertia(a1, "embedding", c2)
         i2 = kmeans_inertia(a2, "embedding", c2)
         assert abs(i1 - i2) / max(abs(i2), 1e-9) < 1e-6
+
+
+def test_random_projection_jl_properties(spark, catalog):
+    # Two JL properties that DO hold on isotropic data (pairwise-rank
+    # checks don't — concentration makes all random-pair distances
+    # nearly equal): (1) norm preservation in expectation,
+    # E[||Pv||²/out_dim] = ||v||²; (2) planted contrast — a vector's
+    # small perturbation stays far closer in projected space than a
+    # random other vector.
+    import statistics
+
+    from dirty_js_etl_spark.operators.similarity import random_projection
+
+    emb = catalog.read("embeddings").limit(40)
+    proj = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+        for r in random_projection(emb, "embedding", 64, 8).collect()
+    }
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    ratios = [
+        (sum(x * x for x in proj[i]) / 8)
+        / sum(float(x) ** 2 for x in orig[i])
+        for i in orig
+    ]
+    assert 0.7 < statistics.mean(ratios) < 1.3, statistics.mean(ratios)
+
+    # planted near-neighbor: v + tiny noise
+    ids = sorted(orig)[:10]
+    spark_rows = [
+        (1000 + i, [float(x) + (0.001 * ((j * 7 + i) % 3 - 1)) for j, x in enumerate(orig[i])])
+        for i in ids
+    ]
+    near = spark.createDataFrame(
+        spark_rows, "vec_id long, embedding array<double>"
+    )
+    pnear = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+        for r in random_projection(near, "embedding", 64, 8).collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    other = sorted(orig)[10:20]
+    for i, o in zip(ids, other):
+        assert d2(proj[i], pnear[1000 + i]) < d2(proj[i], proj[o])
+
+
+def test_random_projection_deterministic(spark, catalog):
+    from dirty_js_etl_spark.operators.similarity import random_projection
+
+    emb = catalog.read("embeddings").limit(50)
+    a = sorted(map(tuple, random_projection(emb, "embedding", 64, 4).select(
+        "vec_id", "p0", "p1", "p2", "p3").collect()))
+    b = sorted(map(tuple, random_projection(emb.repartition(5), "embedding", 64, 4).select(
+        "vec_id", "p0", "p1", "p2", "p3").collect()))
+    assert a == b
