@@ -132,3 +132,48 @@ def write_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_mb: int = 128,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_mb)`` files — the maintenance pass
+    every long-running ingest needs (thousands of per-batch micro-files
+    destroy scan throughput: footer overhead, task-per-file scheduling,
+    object-store request amplification).
+
+    Returns the new file count. Sizing reads the CURRENT total byte
+    size from the file listing (driver-side metadata only — no data
+    pass); the rewrite is one job: coalesce-by-repartition to the
+    target count (+ optional ``sortWithinPartitions`` to restore a
+    clustering order, since repartition would otherwise destroy it).
+    Writes to a temp sibling then swaps, so a failed compaction never
+    loses the input — the poor-man's transaction; on Delta/Iceberg use
+    OPTIMIZE, which this mirrors.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

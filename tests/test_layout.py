@@ -97,3 +97,32 @@ def test_string_cluster_column_rejected(spark, catalog):
     docs = catalog.read("documents")
     with pytest.raises(ValueError, match="order-preserving"):
         rank_bucketize(docs, "lang", bits=4)
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, catalog, tmp_path):
+    import glob
+
+    from dirty_js_etl_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "fragmented")
+    docs = catalog.read("documents")
+    docs.repartition(40).write.parquet(src)  # 40 micro-files
+    n_before = len(glob.glob(src + "/*.parquet"))
+    assert n_before >= 30
+    rows_before = sorted(r["doc_id"] for r in spark.read.parquet(src).collect())
+
+    n_target = compact_files(spark, src, target_mb=128)
+    n_after = len(glob.glob(src + "/*.parquet"))
+    assert n_after == n_target == 1  # tiny fixture fits one 128 MB file
+    rows_after = sorted(r["doc_id"] for r in spark.read.parquet(src).collect())
+    assert rows_after == rows_before
+
+
+def test_compact_files_keeps_sort_order(spark, catalog, tmp_path):
+    from dirty_js_etl_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "frag2")
+    catalog.read("documents").repartition(10).write.parquet(src)
+    compact_files(spark, src, target_mb=128, sort_within_by=["doc_id"])
+    pdf = spark.read.parquet(src).select("doc_id").toPandas()
+    assert list(pdf["doc_id"]) == sorted(pdf["doc_id"])
