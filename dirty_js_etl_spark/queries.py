@@ -7856,3 +7856,62 @@ def x181_random_projection(spark, sf_dir):
         "vec_id",
         *[(F.round(F.col(f"p{j}"), 6) + 0.0).alias(f"p{j}") for j in range(8)],
     )
+
+
+@register("x182_kll_quantile_rollup", None)  # engine sketch -> rows-only;
+# error bound vs exact percentiles pinned in tests/test_sketches.py
+def x182_kll_quantile_rollup(spark, sf_dir):
+    # Two-level MERGEABLE quantile rollup (the x144 HLL pattern for
+    # percentiles): per-day KLL sketches of purchase values reduce each
+    # day to one ~KB state row; the weekly p50/p95 come from MERGING
+    # the daily sketches — never re-touching raw data. This is the
+    # incremental-percentile architecture exact forms (x40) cannot
+    # offer: yesterday's sketch never recomputes, and the merge is
+    # associative across shards/days.
+    ev = _cat(spark, sf_dir).read("events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.kll_sketch_agg_double("value").alias("sk"))
+    weekly = daily.groupBy(
+        F.weekofyear("day").alias("week")
+    ).agg(F.kll_merge_agg_double("sk").alias("wsk"))
+    return weekly.select(
+        "week",
+        F.kll_sketch_get_n_double("wsk").cast("long").alias("n"),
+        F.kll_sketch_get_quantile_double("wsk", F.lit(0.5)).alias("p50_approx"),
+        F.kll_sketch_get_quantile_double("wsk", F.lit(0.95)).alias("p95_approx"),
+    )
+
+
+@register("x183_theta_audience_overlap", None)  # engine sketch ->
+# rows-only; error bound vs exact distinct set ops in test_sketches.py
+def x183_theta_audience_overlap(spark, sf_dir):
+    # Audience set algebra via THETA sketches — the scalable form of
+    # "how many users both viewed and purchased" (ad-tech overlap
+    # reports): each event type folds to one bounded sketch row (one
+    # shuffle); intersection/difference run on the SKETCHES, not the
+    # user sets — |types|² set ops at constant cost, vs an exact
+    # distinct-intersection join whose cost is data-sized per pair.
+    ev = _cat(spark, sf_dir).read("events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    v = sk.filter(F.col("event_type") == "view").select(
+        F.col("sk").alias("sv")
+    )
+    p = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sp")
+    )
+    both = v.crossJoin(F.broadcast(p))  # two 1-row sketch tables
+    return both.select(
+        F.theta_sketch_estimate(F.col("sv")).cast("long").alias("viewers"),
+        F.theta_sketch_estimate(F.col("sp")).cast("long").alias("purchasers"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sv"), F.col("sp"))
+        ).cast("long").alias("overlap_approx"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sv"), F.col("sp"))
+        ).cast("long").alias("view_only_approx"),
+    )
