@@ -7915,3 +7915,49 @@ def x183_theta_audience_overlap(spark, sf_dir):
             F.theta_difference(F.col("sv"), F.col("sp"))
         ).cast("long").alias("view_only_approx"),
     )
+
+
+@register(
+    "x184_custom_stream_source",
+    """
+SELECT CAST(seq % 10 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((seq * 37) % 100) AS DOUBLE) AS total
+FROM (SELECT UNNEST(range(1000)) AS seq)
+GROUP BY 1
+""",
+)
+def x184_custom_stream_source(spark, sf_dir):
+    # Custom PYTHON STREAMING data source (Spark 4
+    # SimpleDataSourceStreamReader): a deterministic replay stream whose
+    # rows are pure integer arithmetic of the offset — so a batch SQL
+    # oracle reproduces the ENTIRE drained stream bit-for-bit, hash-
+    # checking the streaming-source plumbing (offsets, micro-batching,
+    # recovery reads) end to end. Completes the connector surface: x114
+    # is the batch custom source, this is the streaming one.
+    from dirty_js_etl_spark.sources.pyds import register_tick_replay
+
+    register_tick_replay(spark)
+    name = f"tick_replay_{next(_STREAM_COUNTER)}"
+    df = (
+        spark.readStream.format("tick_replay")
+        .option("n_total", "1000")
+        .option("batch_size", "250")
+        .load()
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("amount").alias("total"),
+        )
+    )
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

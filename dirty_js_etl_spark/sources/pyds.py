@@ -67,3 +67,71 @@ class DateSpineDataSource(DataSource):
 def register_date_spine(spark) -> None:
     """Idempotent registration of the date_spine format."""
     spark.dataSource.register(DateSpineDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Custom STREAMING source: deterministic tick replay
+# ---------------------------------------------------------------------------
+
+
+class TickReplayStreamReader:
+    """``SimpleDataSourceStreamReader`` for a deterministic tick stream:
+    rows are ``(seq, bucket, amount)`` with ``bucket = seq % 10`` and
+    ``amount = (seq * 37) % 100`` — pure integer arithmetic, so any
+    engine reproduces the full stream from (n_total,) alone, which is
+    what lets a DuckDB oracle hash-check a STREAMING source end to end
+    (x184).
+
+    Offset = {"seq": next-unemitted}; each micro-batch emits at most
+    ``batch_size`` rows. The simple-reader variant trades partitioned
+    reads for driver-side sequencing — right for control/replay streams
+    (the partition-parallel surface is the batch reader above; a
+    partition-parallel stream reader implements DataSourceStreamReader
+    with per-partition offsets, same shape as Kafka's).
+    """
+
+    def __init__(self, options: dict):
+        self.n_total = int(options.get("n_total", "1000"))
+        self.batch = int(options.get("batch_size", "250"))
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        lo = int(start["seq"])
+        hi = min(lo + self.batch, self.n_total)
+        rows = iter(
+            [(s, s % 10, float((s * 37) % 100)) for s in range(lo, hi)]
+        )
+        return rows, {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                (s, s % 10, float((s * 37) % 100))
+                for s in range(int(start["seq"]), int(end["seq"]))
+            ]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TickReplayDataSource(DataSource):
+    """``spark.readStream.format("tick_replay").option("n_total", N)``
+    → a finite deterministic stream for replay/backfill testing."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tick_replay"
+
+    def schema(self) -> str:
+        return "seq bigint, bucket int, amount double"
+
+    def simpleStreamReader(self, schema):
+        return TickReplayStreamReader(self.options)
+
+
+def register_tick_replay(spark) -> None:
+    """Idempotent registration of the tick_replay streaming format."""
+    spark.dataSource.register(TickReplayDataSource)

@@ -147,3 +147,22 @@ class TestDateSpineDataSource:
 
         with _pt.raises((Py4JJavaError, PySparkException, Exception)):
             df.collect()
+
+
+def test_tick_replay_batches_and_recovery_read(spark):
+    # the stream emits in 250-row micro-batches; readBetweenOffsets (the
+    # recovery path) must reproduce exactly the same rows as read()
+    from dirty_js_etl_spark.sources.pyds import TickReplayStreamReader
+
+    r = TickReplayStreamReader({"n_total": "600", "batch_size": "250"})
+    off = r.initialOffset()
+    seen = []
+    for expect_n in (250, 250, 100, 0):
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        assert len(rows) == expect_n
+        seen.extend(rows)
+        replay = list(r.readBetweenOffsets(off, nxt))
+        assert replay == rows  # recovery == original
+        off = nxt
+    assert [s for s, _, _ in seen] == list(range(600))
