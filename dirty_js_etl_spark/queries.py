@@ -7961,3 +7961,76 @@ def x184_custom_stream_source(spark, sf_dir):
     finally:
         q.stop()
     return spark.table(name)
+
+
+@register(
+    "x185_cdc_column_diff",
+    f"""
+WITH b AS ({_X174_B_SQL})
+SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN b.c_custkey IS NULL THEN 'D'
+            WHEN a.c_custkey IS NULL THEN 'I'
+            ELSE 'U' END AS change_type,
+       CASE WHEN a.c_custkey IS NULL OR b.c_custkey IS NULL THEN ''
+            ELSE array_to_string(list_filter([
+              CASE WHEN a.c_name IS DISTINCT FROM b.c_name THEN 'c_name' END,
+              CASE WHEN a.c_nationkey IS DISTINCT FROM b.c_nationkey THEN 'c_nationkey' END,
+              CASE WHEN a.c_acctbal IS DISTINCT FROM b.c_acctbal THEN 'c_acctbal' END,
+              CASE WHEN a.c_mktsegment IS DISTINCT FROM b.c_mktsegment THEN 'c_mktsegment' END
+            ], x -> x IS NOT NULL), ',') END AS changed_cols
+FROM customer a FULL JOIN b ON a.c_custkey = b.c_custkey
+WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+   OR a.c_name IS DISTINCT FROM b.c_name
+   OR a.c_nationkey IS DISTINCT FROM b.c_nationkey
+   OR a.c_acctbal IS DISTINCT FROM b.c_acctbal
+   OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+""",
+)
+def x185_cdc_column_diff(spark, sf_dir):
+    # COLUMN-level CDC: x67/x174 say WHICH keys changed; downstream
+    # incremental consumers (per-column lineage, selective reprocessing,
+    # audit trails) need WHICH COLUMNS. One full-outer key join; the
+    # changed-column list is a map-side filtered literal array in fixed
+    # column order (deterministic, engine-portable string). Same
+    # deterministic replica-B derivation as x174.
+    a = _cat(spark, sf_dir).read("customer")
+    modified = F.when(
+        F.col("c_custkey") % 97 == 3, F.lit("DIVERGED")
+    ).otherwise(F.col("c_mktsegment"))
+    b = (
+        a.filter(F.col("c_custkey") % 101 != 7)
+        .withColumn("c_mktsegment", modified)
+        .unionByName(
+            a.filter(F.col("c_custkey") % 103 == 5).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    al, bl = a.alias("a"), b.alias("b")
+    j = al.join(bl, F.col("a.c_custkey") == F.col("b.c_custkey"), "full")
+    diff_any = None
+    marks = []
+    for c in cols:
+        ne = ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        marks.append(F.when(ne, F.lit(c)))
+        diff_any = ne if diff_any is None else (diff_any | ne)
+    only_a = F.col("b.c_custkey").isNull()
+    only_b = F.col("a.c_custkey").isNull()
+    return (
+        j.filter(only_a | only_b | diff_any)
+        .select(
+            F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias(
+                "c_custkey"
+            ),
+            F.when(only_a, F.lit("D"))
+            .when(only_b, F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("change_type"),
+            F.when(only_a | only_b, F.lit("")).otherwise(
+                F.array_join(
+                    F.filter(F.array(*marks), lambda x: x.isNotNull()), ","
+                )
+            ).alias("changed_cols"),
+        )
+    )
