@@ -8034,3 +8034,63 @@ def x185_cdc_column_diff(spark, sf_dir):
             ).alias("changed_cols"),
         )
     )
+
+
+@register(
+    "x186_conversion_latency",
+    """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+), lat AS (
+  SELECT p.user_id,
+         epoch_us(p.ts) - epoch_us(v.v_ts) AS wait_us
+  FROM purchases p JOIN LATERAL (
+    SELECT ts AS v_ts FROM views v
+    WHERE v.user_id = p.user_id AND v.ts <= p.ts
+    ORDER BY v.ts DESC LIMIT 1
+  ) v ON TRUE
+)
+SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(trunc(quantile_cont(wait_us, 0.5)) AS BIGINT) AS p50_wait_us,
+       CAST(trunc(quantile_cont(wait_us, 0.9)) AS BIGINT) AS p90_wait_us
+FROM lat
+""",
+)
+def x186_conversion_latency(spark, sf_dir):
+    # Funnel TIMING (x63 counts conversions; this measures them): per
+    # purchase, the wait since the user's most recent prior view via
+    # the union+window as-of (one key shuffle — no per-pair LATERAL
+    # explosion, which is how the oracle spells it), then exact wait
+    # percentiles. Ties: views and purchases at the same instant count
+    # as converted-at-zero, matching the oracle's v.ts <= p.ts.
+    from dirty_js_etl_spark.operators.asof import asof_join
+
+    ev = _cat(spark, sf_dir).read("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts"), F.col("ts").alias("v_ts")
+    )
+    matched = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["v_ts"],
+    ).filter(F.col("v_ts").isNotNull())
+    lat = matched.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("v_ts").cast("timestamp"))).alias("wait_us"),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.expr("CAST(percentile(wait_us, 0.5) AS BIGINT)").alias("p50_wait_us"),
+        F.expr("CAST(percentile(wait_us, 0.9) AS BIGINT)").alias("p90_wait_us"),
+    )
