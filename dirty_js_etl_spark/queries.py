@@ -8094,3 +8094,50 @@ def x186_conversion_latency(spark, sf_dir):
         F.expr("CAST(percentile(wait_us, 0.5) AS BIGINT)").alias("p50_wait_us"),
         F.expr("CAST(percentile(wait_us, 0.9) AS BIGINT)").alias("p90_wait_us"),
     )
+
+
+@register(
+    "x187_mixture_budget",
+    r"""
+WITH t AS (
+  SELECT lang, source,
+         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS n_tok
+  FROM documents
+), per AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM t GROUP BY lang, source
+), tot AS (
+  SELECT lang, sum(n_tokens) AS lang_tokens FROM per GROUP BY lang
+)
+SELECT p.lang, p.source, p.n_docs, p.n_tokens,
+       CAST(p.n_tokens * 10000 // t.lang_tokens AS BIGINT) AS share_bps
+FROM per p JOIN tot t USING (lang)
+""",
+)
+def x187_mixture_budget(spark, sf_dir):
+    # Mixture-planning report: token budget per (lang, source) with
+    # each source's integer-bps share of its language's tokens — the
+    # accounting table a data-mixture config (x96's rates, x120's
+    # shards) is derived from. Two grouped aggregations share the
+    # (lang, source) shuffle; the per-lang totals re-attach as a
+    # reduced broadcast join; all integer-exact.
+    from dirty_js_etl_spark.operators.text import token_count
+
+    docs = _cat(spark, sf_dir).read("documents")
+    per = docs.select(
+        "lang", "source", token_count(F.col("text")).alias("n_tok")
+    ).groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    tot = per.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    return per.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(n_tokens * 10000 DIV lang_tokens AS BIGINT)").alias(
+            "share_bps"
+        ),
+    )
