@@ -93,30 +93,74 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Normalize any TIMESTAMP_NTZ column to a session-tz TIMESTAMP.
+
+    The fixture writer omits parquet's isAdjustedToUTC flag, so under a
+    session that has NOT disabled ``inferTimestampNTZ`` (the driver's
+    session — queries receive it, not our protected one) the columns
+    surface as TIMESTAMP_NTZ and every epoch function (``unix_micros``,
+    ``unix_timestamp``) and watermark dies with DATATYPE_MISMATCH at
+    analysis. Under the UTC session timezone the cast is value-exact and
+    identical to DuckDB's naive-UTC read of the same file."""
+    ntz = [name for name, dtype in df.dtypes if dtype == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def _harden_session(spark: SparkSession) -> None:
+    """Runtime-settable read protections, applied at catalog construction
+    so they hold in ANY session (the driver builds its own, without
+    ``session.get_spark``'s builder-time configs — the root cause of the
+    rounds-2/3/4 works-locally-dies-under-the-driver failures)."""
+    for key, val in (
+        # TIMESTAMP(NANOS) fixtures (earlier testdata generations)
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # micros-no-UTC-flag fixtures (current generation) → LTZ not NTZ
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        # oracle parity: DuckDB reads these timestamps naive-UTC
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:  # noqa: BLE001 — conf locked: fall back to casts
+            pass
+
+
 def fixture_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
     """Catalog over one driver fixture directory (TESTDATA.md).
 
-    ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default; the events loader flips the
-    ``nanosAsLong`` escape hatch and rebuilds a micros timestamp (matching
-    DuckDB, which truncates nanos to micros on read)."""
+    Timestamp columns are NTZ-proofed twice over: session confs are set
+    at construction (``_harden_session``) AND every loader casts any
+    surviving TIMESTAMP_NTZ column to TIMESTAMP (``_ntz_to_ltz``), so the
+    same query plan analyzes identically under the builder's protected
+    session and the driver's default one. ``events.parquet`` generations
+    with TIMESTAMP(NANOS) read as bigint under ``nanosAsLong`` and are
+    rebuilt as micros timestamps (matching DuckDB, which truncates nanos
+    to micros on read)."""
+    _harden_session(spark)
     cat = Catalog(spark, root=sf_dir)
 
     def _load_events() -> DataFrame:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return _spread(spark, df)
+        return _spread(spark, _ntz_to_ltz(df))
 
     cat.register_loader("events", _load_events)
 
-    def _heavy_loader(name: str) -> Callable[[], DataFrame]:
+    def _loader(name: str, spread: bool) -> Callable[[], DataFrame]:
         def load() -> DataFrame:
-            return _spread(spark, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+            df = _ntz_to_ltz(
+                spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            )
+            return _spread(spark, df) if spread else df
 
         return load
 
-    for name in ("documents", "embeddings"):
-        cat.register_loader(name, _heavy_loader(name))
+    for name in FIXTURE_TABLES:
+        if name == "events":
+            continue
+        cat.register_loader(name, _loader(name, spread=name in HEAVY_TABLES))
     return cat

@@ -66,6 +66,16 @@ def asof_join(
     is nulled out, exactly as if no right row existed. Implemented as a
     map-side post-filter over the filled match time (the union/window
     plan is unchanged — no extra shuffle).
+
+    The fill carries ONE struct per right row (match time + every
+    payload column packed together), so all output columns and the
+    tolerance check come from the SAME winning right row — pandas
+    ``merge_asof`` semantics. Filling each payload column independently
+    (rounds 1–4) silently fell back to an OLDER right row's value
+    whenever the winning row carried NULL in that column, diverging from
+    both ``merge_asof`` and :func:`asof_join_bucketed`'s boundary
+    handoff, and let stale per-column values slip past the tolerance
+    filter (ADVICE r04, both items).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -118,33 +128,33 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    if tolerance_seconds is not None:
-        # right rows additionally carry their own time as a fillable
-        # match-time column so the post-filter can measure staleness
-        l_side = l_side.withColumn("__asof_mt", F.lit(None).cast("timestamp"))
-        r_side = r_side.withColumn("__asof_mt", F.col(_TIME).cast("timestamp"))
-    fill_cols = list(payload_cols) + (
-        ["__asof_mt"] if tolerance_seconds is not None else []
+    # ONE struct per right row: match time + all payloads travel (and
+    # fill) together, so the winning right row is matched wholesale
+    row = F.when(
+        F.col(_SIDE) == 1,
+        F.struct(
+            F.col(_TIME).alias("__asof_mt"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ),
     )
     filled = l_side.unionByName(r_side).select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"__filled_{c}")
-            for c in fill_cols
-        ],
+        "*", F.last(row, ignorenulls=True).over(w).alias("__asof_row")
     )
     if tolerance_seconds is None:
-        out_payload = {c: F.col(f"__filled_{c}") for c in payload_cols}
+        out_payload = {c: F.col("__asof_row").getField(c) for c in payload_cols}
     else:
         within = (
             F.abs(
                 F.unix_micros(F.col(_TIME).cast("timestamp"))
-                - F.unix_micros(F.col("__filled___asof_mt"))
+                - F.unix_micros(
+                    F.col("__asof_row").getField("__asof_mt").cast("timestamp")
+                )
             )
             <= F.lit(int(tolerance_seconds * 1_000_000))
         )
         out_payload = {
-            c: F.when(within, F.col(f"__filled_{c}")) for c in payload_cols
+            c: F.when(within, F.col("__asof_row").getField(c))
+            for c in payload_cols
         }
     return filled.filter(F.col(_SIDE) == 0).select(
         F.col(on),

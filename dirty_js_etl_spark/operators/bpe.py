@@ -112,41 +112,104 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _safe_batch(top: list, want: int) -> list:
+    """Select a maximal prefix of the sorted candidate pairs that is
+    PROVABLY equivalent to taking them one sequential argmax at a time.
+
+    ``top`` is the candidate list sorted by (count desc, a asc, b asc),
+    of length up to ``want + 1`` (the +1 row supplies the cutoff count).
+    Two facts make a prefix safe:
+
+    1. *Disjointness*: if ``{a_i, b_i, a_i+b_i}`` is disjoint from every
+       earlier accepted merge's ``{a_j, b_j, a_j+b_j}``, applying those
+       merges can neither destroy nor create an ``(a_i, b_i)`` adjacency
+       — p_i's count at its sequential step is exactly the count here.
+    2. *Created-pair bound*: merging ``(a_j, b_j)`` creates pairs
+       ``(x, m_j)`` / ``(m_j, y)``, each occurrence backed by an
+       ``(x, a_j)`` / ``(b_j, y)`` adjacency in the CURRENT table. Such
+       overlapping pairs are never in the (disjoint) accepted prefix, so
+       their counts are ≤ the first non-accepted candidate's count
+       (``cutoff``). Requiring every accepted count after the first to
+       be STRICTLY greater than the cutoff guarantees no created pair
+       can out-rank an accepted one mid-batch (ties are unsafe: a
+       created pair tying on count could win the lexicographic
+       tie-break). Existing (non-created) pairs only ever lose
+       occurrences, so their sort order vs the prefix is preserved.
+
+    Worst case (flat count distribution) this degrades to the exact
+    sequential trainer (batch of 1); on Zipfian corpora the top counts
+    are distinct and batches stay near ``want``.
+    """
+    accepted = [top[0]]
+    used = {top[0]["a"], top[0]["b"], top[0]["a"] + top[0]["b"]}
+    for row in top[1:want]:
+        syms = {row["a"], row["b"], row["a"] + row["b"]}
+        if syms & used:
+            break
+        accepted.append(row)
+        used |= syms
+    cutoff = (
+        top[len(accepted)]["pair_count"] if len(top) > len(accepted) else 0
+    )
+    while len(accepted) > 1 and accepted[-1]["pair_count"] <= cutoff:
+        cutoff = accepted[-1]["pair_count"]
+        accepted.pop()
+    return accepted
+
+
 def learn_bpe_merges(
     corpus: DataFrame,
     n_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    batch_size: int = 8,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus; returns the merge
     table as a DataFrame ``(rank, left, right, merged, pair_count)`` —
     fully deterministic (integer counts, lexicographic tie-break), so
     two runs on the same corpus produce identical tables regardless of
     partitioning.
+
+    Each round collects the top ``batch_size + 1`` pairs and accepts the
+    maximal provably-sequential-equivalent prefix (:func:`_safe_batch`),
+    so cluster round-trips are O(n_merges / batch_size) instead of one
+    per merge (VERDICT r04 #6) while the merge table stays bit-identical
+    to ``batch_size=1`` (pytest-pinned). ``batch_size=1`` recovers the
+    strict one-argmax-per-job trainer.
     """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     spark = corpus.sparkSession
     vocab = word_frequencies(corpus, text_col).select(
         _initial_symbols(F.col("word")).alias("symbols"), "freq"
     )
     rows = []
-    for rank in range(n_merges):
+    folds_since_ckpt = 0
+    while len(rows) < n_merges:
+        want = min(batch_size, n_merges - len(rows))
         top = (
             _pair_counts(vocab)
             .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(want + 1)
             .collect()
         )
         if not top:
             break
-        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["pair_count"]
-        rows.append((rank, a, b, a + b, cnt))
-        vocab = vocab.select(
-            _merge_fold(F.col("symbols"), a, b).alias("symbols"), "freq"
-        )
-        if (rank + 1) % checkpoint_every == 0:
+        for row in _safe_batch(top, want):
+            a, b, cnt = row["a"], row["b"], row["pair_count"]
+            rows.append((len(rows), a, b, a + b, cnt))
+            vocab = vocab.select(
+                _merge_fold(F.col("symbols"), a, b).alias("symbols"), "freq"
+            )
+            folds_since_ckpt += 1
+        if folds_since_ckpt >= checkpoint_every:
             # truncate the per-iteration fold lineage; lazy -> blocks
-            # are GC-released with the frame (no session-pinned cache)
+            # are GC-released with the frame (no session-pinned cache).
+            # lazy is safe HERE (unlike dedup.py): vocab has exactly one
+            # consumer per round, so the checkpoint materializes as the
+            # next job's first stage — no mid-job stage cancellation
             vocab = vocab.localCheckpoint(eager=False)
+            folds_since_ckpt = 0
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string, pair_count long"
     )

@@ -100,6 +100,23 @@ def minhash_signature(
     return F.array(*mins)
 
 
+def _signature_from_hashed(
+    exploded: DataFrame, num_perm: int, seed: int, with_size: bool = False
+) -> DataFrame:
+    """(id, m0..) signature agg over an already-exploded ``(id, g)``
+    frame of raw xxhash64 shingle hashes. ``with_size`` piggybacks the
+    per-id hash count (= distinct-shingle set size) on the same shuffle
+    as an ``sz`` column — one aggregation serves both consumers."""
+    h = F.pmod(F.col("g"), F.lit(_P))
+    aggs = [
+        F.min(F.pmod(a * h + b, F.lit(_P))).cast("int").alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_params(num_perm, seed))
+    ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("sz"))
+    return exploded.groupBy("id").agg(*aggs)
+
+
 def minhash_signature_table(
     sh_base: DataFrame, num_perm: int = 64, seed: int = 42
 ) -> DataFrame:
@@ -115,15 +132,9 @@ def minhash_signature_table(
     """
     exploded = sh_base.select(
         "id",
-        F.explode(
-            F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-        ).alias("h"),
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"),
     )
-    aggs = [
-        F.min(F.pmod(a * F.col("h") + b, F.lit(_P))).cast("int").alias(f"m{i}")
-        for i, (a, b) in enumerate(_hash_params(num_perm, seed))
-    ]
-    return exploded.groupBy("id").agg(*aggs)
+    return _signature_from_hashed(exploded, num_perm, seed)
 
 
 def band_hashes(sig: Column, bands: int, rows: int) -> Column:
@@ -160,18 +171,31 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    # the shingle table feeds FOUR consumers (signatures, verify a/b,
-    # sizes); without materialization every subtree re-runs the regex
-    # shingling of the full corpus. This is the canonical materialization
-    # point of a dedup pipeline — narrow rows, spills to disk if needed.
-    # Lazy localCheckpoint rather than persist: same in-job caching, but
-    # the blocks are GC-released when the frame goes out of scope
-    # instead of pinning session storage until an explicit unpersist
-    # (the round-3 cache-leak pattern, VERDICT #8).
-    sh_base = sh_base.localCheckpoint(eager=False)
+    # ONE shingling pass feeds FOUR consumers (signatures, verify a/b,
+    # sizes): explode the hashed shingles once and materialize the
+    # narrow (id, bigint) rows — 8-byte hashes, not shingle strings.
+    # Everything downstream (signature mins, posting joins, set sizes)
+    # derives from these hashes; shingles are array_distinct so the
+    # per-id count IS the set size (modulo a 2^-64 xxhash collision).
+    # localCheckpoint rather than persist: same in-job caching, but the
+    # blocks are GC-released when the frame goes out of scope instead of
+    # pinning session storage until an explicit unpersist (the round-3
+    # cache-leak pattern, VERDICT #8). EAGER, not lazy: a lazy checkpoint
+    # of a multi-consumer frame materializes mid-job, and the stages
+    # already submitted against the pre-checkpoint lineage get cancelled
+    # and replayed — each cancelled task then reports its accumulators
+    # after cleanup, spraying benign-but-alarming "ERROR DAGScheduler:
+    # ... non-existent accumulator" noise into every run (the BENCH_r04
+    # stack trace, VERDICT r04 #8; reproduced and isolated to this line).
+    exploded = sh_base.select(
+        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
+    ).localCheckpoint(eager=True)
     # codegen-friendly signature table (see minhash_signature_table);
-    # band j buckets on the hash of its contiguous r-column slice
-    sig_tbl = minhash_signature_table(sh_base, num_perm, seed)
+    # band j buckets on the hash of its contiguous r-column slice. The
+    # set sizes ride the same id-keyed shuffle (with_size) — the
+    # dedicated sizes aggregation was a whole extra pass over the
+    # checkpoint blocks
+    sig_tbl = _signature_from_hashed(exploded, num_perm, seed, with_size=True)
     buckets = F.array(
         *[
             F.xxhash64(
@@ -219,10 +243,7 @@ def minhash_lsh_pairs(
     # rows; AQE converts them to broadcasts at runtime when the actual
     # size is small (the sf0.01 test case), which is the only time a
     # broadcast is safe.
-    sizes = sh_base.select("id", F.size("sh").alias("sz"))
-    exploded = sh_base.select(
-        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
-    )
+    sizes = sig_tbl.select("id", "sz")
     return _count_based_verify(
         cands, exploded, exploded, sizes, sizes, jaccard_threshold
     )
@@ -300,13 +321,19 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    sizes = base.select("id", F.size("sh").alias("sz"))
-    # three consumers (df-counts, self-join sides) — materialize the
-    # narrow hashed-shingle rows once instead of re-shingling per
-    # subtree; GC-scoped localCheckpoint, not session-pinned persist
+    # four consumers (df-counts, self-join sides, sizes) — materialize
+    # the narrow hashed-shingle rows once instead of re-shingling per
+    # subtree; GC-scoped localCheckpoint, not session-pinned persist.
+    # Eager: lazy checkpoints of multi-consumer frames materialize
+    # mid-job and spray cancelled-task accumulator errors (see
+    # minhash_lsh_pairs above / VERDICT r04 #8)
     exploded = base.select(
         "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
+    # shingles are array_distinct, so the per-id hash count is the set
+    # size (sizes formerly re-ran the regex shingling of the whole
+    # corpus as a second pass over `base`)
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     df_counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     exploded = (
         exploded.join(df_counts, "g").filter(F.col("__df") <= max_shingle_df).drop("__df")
@@ -665,10 +692,13 @@ def prefix_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    sizes = base.select("id", F.size("sh").alias("sz"))
+    # eager for the same mid-job-materialization reason as
+    # minhash_lsh_pairs (VERDICT r04 #8); sizes derive from the hash
+    # counts (distinct shingles) instead of re-shingling the corpus
     exploded = base.select(
         "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     df_counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("g"))
     prefix = (

@@ -103,6 +103,10 @@ def validate(
             )
         )
         parts.append(dup)
+    if not parts:
+        raise ValueError(
+            "validate() needs at least one Expectation or UniqueKey rule"
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

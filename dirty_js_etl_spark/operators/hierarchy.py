@@ -61,12 +61,19 @@ def flatten_hierarchy(
             F.col("anc").alias("janc"),
             F.col("depth").alias("jdepth"),
         )
+        # LEFT join: a dangling parent id (anc not present in the id
+        # column at all) has no hop target — keep the node unchanged
+        # instead of silently dropping it while other nodes still
+        # converge (ADVICE r04); the convergence probe already treats
+        # it as resolved (it is not in non_roots)
         state = (
-            state.join(hop, state["anc"] == hop["jid"])
+            state.join(hop, state["anc"] == hop["jid"], "left")
             .select(
                 "id",
-                F.col("janc").alias("anc"),
-                (F.col("depth") + F.col("jdepth")).cast("int").alias("depth"),
+                F.coalesce(F.col("janc"), F.col("anc")).alias("anc"),
+                (F.col("depth") + F.coalesce(F.col("jdepth"), F.lit(0)))
+                .cast("int")
+                .alias("depth"),
             )
             .localCheckpoint(eager=True)
         )

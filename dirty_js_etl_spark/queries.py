@@ -97,10 +97,18 @@ def register(name: str, oracle: str | None):
 _SENTINELS: list[str] = [
     # evergreen §2 canary
     "t5_merge_full",
-    # changed in round 4: nearest-as-of rewritten as a single
-    # union+window pass; forward as-of gained the event_id tiebreaker
+    # round 5: the two r04 driver-red rows (NTZ epoch math, fixed at the
+    # catalog read boundary + per-query cast idiom) must lead the window
+    "x61_moving_avg_range",
     "x139_asof_nearest",
+    # round 5: x35 gained a deterministic oracle (exact counts hash-checked,
+    # sketch estimates as in-bound booleans) — re-verify under the driver
+    "x35_sketches",
+    # round 5: asof_join's fill switched to wholesale row-structs
+    # (ADVICE r04) — re-verify the whole family under the driver
+    "x21_asof_join",
     "x106_asof_forward",
+    "x158_asof_tolerance",
 ]
 
 
@@ -147,9 +155,21 @@ def _window_order() -> list[str]:
         raise ValueError(f"_SENTINELS names not registered: {missing}")
     green = _driver_green()
     head = list(_SENTINELS)
-    pending = [n for n in _REGISTRY if n not in green and n not in head]
+    # oracle-able pending queries first: a driver window slot spent on an
+    # oracle-less query only buys a rows-only check, so those sort behind
+    # every pending hash-checkable query (VERDICT r04 #4)
+    pending_oracle = [
+        n
+        for n in _REGISTRY
+        if n not in green and n not in head and _REGISTRY[n].oracle
+    ]
+    pending_rows_only = [
+        n
+        for n in _REGISTRY
+        if n not in green and n not in head and not _REGISTRY[n].oracle
+    ]
     verified = [n for n in _REGISTRY if n in green and n not in head]
-    return head + pending + verified
+    return head + pending_oracle + pending_rows_only + verified
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -1689,12 +1709,60 @@ def x27_range_join(spark, sf_dir):
     return out.select("event_id", "user_id", "session_id")
 
 
-@register("x35_sketches", None)  # approximate (HLL++/KLL) -> rows-only
+@register(
+    "x35_sketches",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS hll_in_bound,
+       TRUE AS quantiles_in_bound
+FROM events GROUP BY event_type
+""",
+)
 def x35_sketches(spark, sf_dir):
-    # sketch aggregations per event type: HLL++ distinct users and
-    # approximate quantiles of value — error bounds vs the exact answers
-    # are asserted in tests/test_sketches.py (rel err <= 5% / rank err
-    # bounded); a SQL oracle can't reproduce another engine's sketch
+    # sketch aggregations per event type, now DETERMINISTICALLY oracled
+    # (VERDICT r04 #5): the exact per-group counts hash-check against
+    # DuckDB directly, and the HLL++/KLL estimates are emitted as
+    # in-error-bound BOOLEANS computed against the exact answers inside
+    # the same aggregate (|hll - exact| <= 5% of exact at rsd=0.02;
+    # each approx quantile inside the exact [q-0.01, q+0.01] quantile
+    # envelope at accuracy=10000) — the oracle asserts TRUE. The raw
+    # estimate magnitudes stay covered by tests/test_sketches.py; the
+    # rows-only estimate surface lives on in x35b_sketch_estimates.
+    events = _cat(spark, sf_dir).read("events")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q_est"),
+        F.expr(
+            "percentile(value, array(0.49, 0.51, 0.94, 0.96, 0.98, 1.0))"
+        ).alias("q_env"),
+    )
+    q_ok = (
+        F.col("q_est")[0].between(F.col("q_env")[0], F.col("q_env")[1])
+        & F.col("q_est")[1].between(F.col("q_env")[2], F.col("q_env")[3])
+        & F.col("q_est")[2].between(F.col("q_env")[4], F.col("q_env")[5])
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        (
+            F.abs(F.col("hll_users") - F.col("n_users"))
+            <= 0.05 * F.col("n_users")
+        ).alias("hll_in_bound"),
+        q_ok.alias("quantiles_in_bound"),
+    )
+
+
+@register("x35b_sketch_estimates", None)  # raw sketch outputs -> rows-only
+def x35b_sketch_estimates(spark, sf_dir):
+    # the raw HLL++/KLL estimate surface (rows-only companion of x35):
+    # another engine's sketch can't be SQL-reproduced, so the driver
+    # records row count while tests/test_sketches.py asserts the error
+    # bounds (rel err <= 5%, rank err bounded)
     events = _cat(spark, sf_dir).read("events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -2691,9 +2759,12 @@ def x61_moving_avg_range(spark, sf_dir):
     from pyspark.sql import Window
 
     events = _cat(spark, sf_dir).read("events")
+    # cast("timestamp") is a no-op on LTZ input and rescues NTZ input
+    # (driver sessions without the catalog's conf protections) — the
+    # x61/x139 driver-red root cause of round 4 (VERDICT r04 #1).
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3600 * 1_000_000, 0)
     )
     return events.select(
@@ -5940,9 +6011,14 @@ def x139_asof_nearest(spark, sf_dir):
         F.max(b_cand).over(wb).alias("b"),
         F.min(f_cand).over(wf).alias("f"),
     ).filter(F.col("side") == 0)
-    # microsecond-exact distances via unix_micros (no float)
-    back_d = F.unix_micros(F.col("t")) - F.unix_micros(F.col("b.ts"))
-    fwd_d = F.unix_micros(F.col("f.ts")) - F.unix_micros(F.col("t"))
+    # microsecond-exact distances via unix_micros (no float); the casts
+    # are no-ops on LTZ and rescue NTZ driver sessions (VERDICT r04 #2)
+    back_d = F.unix_micros(F.col("t").cast("timestamp")) - F.unix_micros(
+        F.col("b.ts").cast("timestamp")
+    )
+    fwd_d = F.unix_micros(F.col("f.ts").cast("timestamp")) - F.unix_micros(
+        F.col("t").cast("timestamp")
+    )
     pick_back = F.col("b").isNotNull() & (
         F.col("f").isNull() | (back_d <= fwd_d)
     )

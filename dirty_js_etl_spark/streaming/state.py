@@ -94,10 +94,8 @@ def run_stream_running_totals(
     query_name: str = "stream_running_totals",
 ) -> DataFrame:
     """Drain the fixture stream; return the FINAL running total per
-    user (last emission wins — with in-order batches this equals the
-    batch sum)."""
-    from pyspark.sql import Window
-
+    user (the max emission — totals are monotone, so this equals the
+    batch sum once the source drains)."""
     from dirty_js_etl_spark.streaming.events import read_events_stream
 
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
@@ -119,12 +117,13 @@ def run_stream_running_totals(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", old
             )
-    emitted = spark.table(query_name).withColumn(
-        "__seq", F.monotonically_increasing_id()
-    )
-    w = Window.partitionBy("user_id").orderBy(F.col("__seq").desc())
+    # update-mode emits one row per (user, batch) with a monotonically
+    # NON-DECREASING running total, so the final state is simply the max
+    # per user — ordering the memory sink by monotonically_increasing_id
+    # (rounds 1–4) leaned on partition enumeration order, which is not a
+    # batch-order contract (ADVICE r04)
     return (
-        emitted.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", "total_cents")
+        spark.table(query_name)
+        .groupBy("user_id")
+        .agg(F.max("total_cents").alias("total_cents"))
     )

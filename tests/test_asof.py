@@ -249,3 +249,54 @@ def test_bucketed_tiebreak_smallest_wins(spark):
         payload_cols=["q"], tiebreak_cols=["rid"], bucket_seconds=4,
     )
     assert out.collect()[0]["q"] == "early"
+
+
+def test_null_payload_matched_wholesale(spark):
+    # the winning right row is matched as a ROW: a NULL payload column in
+    # it stays NULL (pandas merge_asof semantics) instead of falling back
+    # to an older right row's value — and therefore agrees with the
+    # bucketed variant's boundary handoff (ADVICE r04, both items)
+    from dirty_js_etl_spark.operators.asof import asof_join, asof_join_bucketed
+
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100.0, "first"),
+            (1, "2024-01-01 11:00:00", None, "second"),  # newest: NULL px
+        ],
+        "k int, t string, px double, tag string",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "px", "tag")
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "k int, t string"
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    plain = asof_join(left, right, on="k", left_time="t", right_time="t").collect()[0]
+    assert plain["tag"] == "second"
+    assert plain["px"] is None  # NOT 100.0 from the older row
+    bucketed = asof_join_bucketed(
+        left, right, on="k", left_time="t", right_time="t"
+    ).collect()[0]
+    assert (bucketed["tag"], bucketed["px"]) == (plain["tag"], plain["px"])
+
+
+def test_tolerance_and_payload_from_same_row(spark):
+    # staleness is measured on the SAME right row that supplies the
+    # payload: a fresh-but-NULL newer row must not let an older stale
+    # row's value slip past the tolerance filter (ADVICE r04)
+    from dirty_js_etl_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100.0),  # stale by 2h
+            (1, "2024-01-01 11:59:30", None),   # fresh, NULL payload
+        ],
+        "k int, t string, px double",
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "px")
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00")], "k int, t string"
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    row = asof_join(
+        left, right, on="k", left_time="t", right_time="t",
+        tolerance_seconds=60,
+    ).collect()[0]
+    # the within-tolerance match row carries NULL px; the stale 100.0
+    # must not leak through
+    assert row["px"] is None

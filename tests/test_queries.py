@@ -57,14 +57,16 @@ def test_window_rotation_is_mechanical():
     assert sorted(order) == sorted(_REGISTRY)  # a permutation, no loss
     green = _driver_green()
     tail = order[len(_SENTINELS):]
-    # once the first already-green name appears, everything after it is
-    # also already-green: pending queries strictly precede verified ones
-    seen_green = False
-    for n in tail:
+    # three strictly-ordered bands after the sentinels: pending+oracle,
+    # pending rows-only (window slots buy hash checks first, VERDICT r04
+    # #4), then already-green
+    def band(n):
         if n in green:
-            seen_green = True
-        else:
-            assert not seen_green, f"pending {n!r} sorted after green names"
+            return 2
+        return 0 if _REGISTRY[n].oracle else 1
+
+    bands = [band(n) for n in tail]
+    assert bands == sorted(bands), "window bands out of order"
     # rows 1-3 artifacts are committed, so the green set is non-trivial
     # and some never-verified queries exist to rotate in
     assert green and any(n not in green for n in _REGISTRY)

@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"  # same dir as the conftest catalog fixture
 def test_sketches_within_bounds(spark, catalog):
     approx = {
         r["event_type"]: r
-        for r in all_queries()["x35_sketches"](spark, SF).collect()
+        for r in all_queries()["x35b_sketch_estimates"](spark, SF).collect()
     }
     events = catalog.read("events")
     exact = {

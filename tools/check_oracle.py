@@ -14,12 +14,21 @@ already guard (±0.0 after round(); collapsed here as well). Every query
 that is hash-green at 12g was also hash-green under the driver in rounds
 1–3 where the windows overlap — the 82 worked examples agree.
 
-Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [--bare-session]
+                                    [sf_dir] [query ...]
 
 ``--json`` additionally writes a machine-readable record per query
 (status, rows, error) — committed as ``CORRECTNESS_LOCAL_*.json`` so the
 full-registry verification (all queries, not just the driver's window)
 is on the record each round.
+
+``--bare-session`` is the DRIVER-PARITY mode (VERDICT r04 #2): it builds
+a SparkSession with none of ``session.get_spark``'s protections — no
+``inferTimestampNTZ=false``, no pre-set ``nanosAsLong``, no builder-time
+UTC timezone — exactly the class of session the driver hands to
+``queries()``. Every works-locally-dies-under-the-driver failure across
+rounds 2–4 (streaming NTZ, x61/x139 epoch math on NTZ) would have failed
+locally under this mode.
 """
 
 from __future__ import annotations
@@ -33,6 +42,24 @@ sys.path.insert(0, "/root/repo")
 
 from dirty_js_etl_spark.catalog import FIXTURE_TABLES  # noqa: E402
 from dirty_js_etl_spark.session import get_spark  # noqa: E402
+
+
+def get_bare_spark():
+    """A deliberately unprotected session — Spark defaults only, like the
+    driver's. (UI off and a local master are environmental, not semantic.)"""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("oracle-check-bare")
+        .master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
 
 
 def normalize(df_pandas):
@@ -58,9 +85,13 @@ def normalize(df_pandas):
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
+    bare = False
     if args and args[0] == "--json":
         json_out = args[1]
         args = args[2:]
+    if args and args[0] == "--bare-session":
+        bare = True
+        args = args[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     record: dict[str, dict] = {}
@@ -70,7 +101,7 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
-    spark = get_spark("oracle-check")
+    spark = get_bare_spark() if bare else get_spark("oracle-check")
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.execute(
@@ -125,6 +156,7 @@ def main() -> int:
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     if json_out:
         summary = {
+            "session": "bare" if bare else "protected",
             "sf_dir": sf_dir,
             "n_queries": len(record),
             "n_ok": sum(1 for r in record.values() if r["status"] == "ok"),
