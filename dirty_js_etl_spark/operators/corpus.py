@@ -527,3 +527,200 @@ def domain_quality(
             (avg_q < F.col("__gmean")).alias("below_avg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring coverage (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr signal)
+# ---------------------------------------------------------------------------
+
+
+def repeated_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document coverage by character spans that appear ≥
+    ``min_count`` times anywhere in the corpus (including within the
+    same document) — the exact-substring duplication signal used to
+    filter memorization-prone training text.
+
+    Returns ``(id, n_chars, repeated_chars, repeated_ratio)``.
+
+    Method: strided fingerprinting. Every ``stride``-aligned character
+    window of length ``window`` is hashed; windows whose hash occurs ≥
+    ``min_count`` times mark their span as repeated, and per-doc
+    coverage is the length of the UNION of marked spans (classic
+    gaps-and-islands over a per-doc window). With stride s and window
+    w, any repeated substring of length ≥ w + s − 1 contains at least
+    one aligned window on each occurrence, so detection is guaranteed
+    above that length and coverage is measured at window granularity.
+
+    Scale: the fingerprint explode is map-only (``sequence`` +
+    ``substring`` + ``xxhash64`` — no UDF, |text|/s narrow rows per
+    doc); one hash aggregation on the 8-byte fingerprint (uniform
+    keys); one doc-keyed window for the interval union. Nothing
+    corpus-scaled is broadcast or collected. A true suffix-array pass
+    (the paper's exact method) is a single-node algorithm; strided
+    fingerprints are the standard distributed surrogate and the stride
+    bounds the blow-up factor at |text|/s rows.
+    """
+    txt = F.col(text_col)
+    n = F.length(txt)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(stride)
+    )
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            txt.alias("__t"),
+            n.alias("__n"),
+            F.explode(starts).alias("off"),
+        )
+        .select(
+            "id",
+            "off",
+            F.least(F.lit(window), F.col("__n") - F.col("off") + 1).alias(
+                "glen"
+            ),
+            F.xxhash64(
+                F.col("__t").substr(F.col("off"), F.lit(window))
+            ).alias("h"),
+        )
+    )
+    counts = grams.groupBy("h").agg(F.count(F.lit(1)).alias("__c"))
+    rep = (
+        grams.join(counts, "h")
+        .filter(F.col("__c") >= min_count)
+        .select("id", "off", "glen")
+    )
+    # interval union per doc: a span's contribution is clipped at the
+    # running max end of all earlier spans (gaps-and-islands)
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("off")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("off") + F.col("glen")).over(w_prev)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("off") + F.col("glen"))
+        - F.greatest(F.col("off"), F.coalesce(prev_end, F.lit(0))),
+    )
+    cov = (
+        rep.select("id", contrib.alias("__cov"))
+        .groupBy("id")
+        .agg(F.sum("__cov").cast("long").alias("repeated_chars"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), n.alias("n_chars"))
+        .join(cov, "id", "left")
+        .select(
+            "id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.coalesce("repeated_chars", F.lit(0))
+            .cast("long")
+            .alias("repeated_chars"),
+            F.round(
+                F.coalesce("repeated_chars", F.lit(0)).cast("double")
+                / F.col("n_chars"),
+                6,
+            ).alias("repeated_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training shuffle + sharding
+# ---------------------------------------------------------------------------
+
+
+def training_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every document a ``(shard, pos)`` for training: a
+    content-hash shard and a deterministic position within the shard —
+    the epoch-reproducible global shuffle every training run needs
+    (same seed → identical order on any cluster/partitioning; new seed
+    → an independent permutation).
+
+    Returns ``(id, shard, pos)``; ``pos`` is 0-based within its shard.
+
+    Scale: md5 is computed map-side; the only movement is ONE shuffle
+    keyed by the (uniform, hash-derived) shard, and the ordering
+    window is per-shard — no global sort, no single-partition
+    bottleneck. Shard count is the write parallelism; positions within
+    a shard order the records of one output file.
+    """
+    # 15 hex chars < 2^60 — exact in a BIGINT on both engines
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("hkey", "id")
+    return (
+        df.select(F.col(id_col).alias("id"), h.alias("hkey"))
+        .withColumn("shard", F.pmod("hkey", F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("id", "shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty profiling (corpus freshness over ingestion order)
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per document: how much of it is NEW — the fraction of its
+    distinct word n-grams whose first corpus occurrence (by ascending
+    id = ingestion order) is this document. The curve of novelty over
+    ingestion order is the standard diminishing-returns diagnostic for
+    whether more of the same source still adds information.
+
+    Returns ``(id, n_grams, novel_grams, novelty_ratio)``.
+
+    Scale: explode distinct grams (map-only), ONE hash agg keyed by the
+    gram for ``min(id)``, one id-keyed agg for the per-doc counts. The
+    gram→first-owner join is gram-keyed (uniform hashes); nothing is
+    broadcast or collected.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k=n)).alias("g"),
+    )
+    first = grams.groupBy("g").agg(F.min("id").alias("__first"))
+    return (
+        grams.join(first, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__first") == F.col("id")).cast("long"))
+            .cast("long")
+            .alias("novel_grams"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "novel_grams",
+            F.round(
+                F.col("novel_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty_ratio"),
+        )
+    )

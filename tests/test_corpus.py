@@ -303,3 +303,92 @@ def test_domain_quality_flags_below_mean(spark):
     out = {r["domain"]: r for r in domain_quality(df, F.col("q")).collect()}
     assert out["s1"]["avg_quality"] == 0.8 and not out["s1"]["below_avg"]
     assert out["s2"]["avg_quality"] == 0.2 and out["s2"]["below_avg"]
+
+
+def test_repeated_span_coverage_hand_computed(spark):
+    from dirty_js_etl_spark.operators.corpus import repeated_span_coverage
+
+    # doc 1 and doc 2 share an identical 60-char prefix; doc 3 is unique.
+    # window=20, stride=5: every aligned 20-gram of the shared prefix
+    # occurs twice -> the prefix region is covered on both docs. Random
+    # (non-periodic) strings so no window accidentally self-repeats.
+    import random
+
+    rnd = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    shared = "".join(rnd.choice(alpha) for _ in range(60))
+    tail1 = "".join(rnd.choice(alpha) for _ in range(40))
+    tail2 = "".join(rnd.choice(alpha) for _ in range(40))
+    uniq = "".join(rnd.choice(alpha) for _ in range(100))
+    docs = spark.createDataFrame(
+        [(1, shared + tail1), (2, shared + tail2), (3, uniq)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in repeated_span_coverage(
+            docs, window=20, stride=5, min_count=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[3]["repeated_chars"] == 0 and out[3]["repeated_ratio"] == 0.0
+    # aligned 20-grams fully inside the 60-char shared prefix start at
+    # offsets 1,6,...,41 -> union covers [1, 61) = 60 chars
+    assert out[1]["repeated_chars"] == 60
+    assert out[2]["repeated_chars"] == 60
+    assert out[1]["n_chars"] == 100
+    assert abs(out[1]["repeated_ratio"] - 0.6) < 1e-9
+
+
+def test_repeated_span_within_doc_repeat_counts(spark):
+    from dirty_js_etl_spark.operators.corpus import repeated_span_coverage
+
+    # a document repeating its own 40-char block twice is self-repeated
+    import random
+
+    rnd = random.Random(11)
+    block = "".join(rnd.choice("xyzuvw") for _ in range(40))
+    filler = "".join(rnd.choice("abcdefgh") for _ in range(45))
+    docs = spark.createDataFrame(
+        [(1, block + filler + block)], "doc_id long, text string"
+    )
+    out = repeated_span_coverage(docs, window=20, stride=5).collect()[0]
+    assert out["repeated_chars"] > 0
+
+
+def test_training_shuffle_deterministic_and_complete(spark):
+    from dirty_js_etl_spark.operators.corpus import training_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {(r["id"], r["shard"], r["pos"]) for r in training_shuffle(df, n_shards=4, seed=1).collect()}
+    b = {(r["id"], r["shard"], r["pos"]) for r in training_shuffle(df.repartition(7), n_shards=4, seed=1).collect()}
+    assert a == b  # partition-invariant
+    c = {(r["id"], r["shard"], r["pos"]) for r in training_shuffle(df, n_shards=4, seed=2).collect()}
+    assert a != c  # a new seed is a different permutation
+    # positions are a clean 0..k-1 sequence per shard, all ids kept
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for _id, sh, pos in a:
+        by_shard[sh].append(pos)
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_ngram_novelty_hand_computed(spark):
+    from dirty_js_etl_spark.operators.corpus import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),      # all 4 distinct 3-grams novel
+            (2, "the cat sat on the mat"),      # identical -> nothing novel
+            (3, "the cat sat somewhere else"),  # shares gram 'the cat sat'
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[1]["novelty_ratio"] == 1.0
+    assert out[2]["novel_grams"] == 0
+    assert out[3]["n_grams"] == 3
+    assert out[3]["novel_grams"] == 2  # 'the cat sat' first seen in doc 1
