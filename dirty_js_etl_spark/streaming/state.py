@@ -43,7 +43,7 @@ from pyspark.sql.streaming.stateful_processor import (
 if TYPE_CHECKING:
     import pandas as pd
 
-OUTPUT_SCHEMA = "user_id bigint, total_cents bigint"
+OUTPUT_SCHEMA = "user_id bigint, total_cents bigint, emit_seq bigint"
 
 _ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -51,22 +51,30 @@ _ROCKSDB = (
 
 
 class RunningTotalProcessor(StatefulProcessor):
-    """ValueState[cents] per user; emits the post-batch running total."""
+    """ValueState[(cents, seq)] per user; emits the post-batch running
+    total tagged with a per-key emission sequence so the consumer can
+    pick the LAST emission — not the max total, which only coincides
+    with the final state while every input is non-negative (refunds /
+    negative corrections would otherwise silently return an
+    intermediate peak — ADVICE r05)."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._total = handle.getValueState("total", "cents bigint")
+        self._total = handle.getValueState("total", "cents bigint, seq bigint")
 
     def handleInputRows(
         self, key: Any, rows: Iterator["pd.DataFrame"], timerValues: Any
     ) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        total = self._total.get()[0] if self._total.exists() else 0
+        total, seq = (
+            self._total.get() if self._total.exists() else (0, 0)
+        )
         for pdf in rows:
             total += int(pdf["cents"].sum())
-        self._total.update((total,))
+        seq += 1
+        self._total.update((total, seq))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "total_cents": [total]}
+            {"user_id": [key[0]], "total_cents": [total], "emit_seq": [seq]}
         )
 
     def close(self) -> None:
@@ -94,8 +102,9 @@ def run_stream_running_totals(
     query_name: str = "stream_running_totals",
 ) -> DataFrame:
     """Drain the fixture stream; return the FINAL running total per
-    user (the max emission — totals are monotone, so this equals the
-    batch sum once the source drains)."""
+    user (the last emission by the processor's per-key sequence — exact
+    even with negative inputs, equal to the batch sum once the source
+    drains)."""
     from dirty_js_etl_spark.streaming.events import read_events_stream
 
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
@@ -117,13 +126,13 @@ def run_stream_running_totals(
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", old
             )
-    # update-mode emits one row per (user, batch) with a monotonically
-    # NON-DECREASING running total, so the final state is simply the max
-    # per user — ordering the memory sink by monotonically_increasing_id
-    # (rounds 1–4) leaned on partition enumeration order, which is not a
-    # batch-order contract (ADVICE r04)
+    # update-mode emits one row per (user, batch); the FINAL state is the
+    # emission with the highest per-key sequence number the processor
+    # stamps — correct even when a batch shrinks the total (refunds),
+    # where the rounds-1–5 max(total_cents) would return an intermediate
+    # peak (ADVICE r05). max_by on the monotone per-key seq is exact.
     return (
         spark.table(query_name)
         .groupBy("user_id")
-        .agg(F.max("total_cents").alias("total_cents"))
+        .agg(F.max_by("total_cents", "emit_seq").alias("total_cents"))
     )

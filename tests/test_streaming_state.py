@@ -29,7 +29,9 @@ def test_processor_wiring_importable(spark):
         running_totals_stream,
     )
 
-    assert OUTPUT_SCHEMA == "user_id bigint, total_cents bigint"
+    # emit_seq: per-key emission sequence so the consumer can take the
+    # LAST emission (exact under refunds/negative cents — ADVICE r05)
+    assert OUTPUT_SCHEMA == "user_id bigint, total_cents bigint, emit_seq bigint"
     assert hasattr(RunningTotalProcessor, "handleInputRows")
     # building the (unstarted) streaming plan must succeed
     stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()

@@ -83,17 +83,30 @@ def normalize(df_pandas):
 
 
 def main() -> int:
+    # order-insensitive flag parsing (ADVICE r05: the old positional
+    # consumption silently ate '--json' as sf_dir when flags were swapped)
     args = sys.argv[1:]
     json_out = None
     bare = False
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
-    if args and args[0] == "--bare-session":
-        bare = True
-        args = args[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    rest: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--json":
+            if i + 1 >= len(args):
+                raise SystemExit("--json requires an output path")
+            json_out = args[i + 1]
+            i += 2
+        elif a == "--bare-session":
+            bare = True
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown flag {a!r}")
+        else:
+            rest.append(a)
+            i += 1
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.01"
+    only = set(rest[1:])
     record: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
