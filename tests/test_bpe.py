@@ -133,6 +133,52 @@ def test_batched_trainer_uses_fewer_jobs(spark):
     assert calls["n"] == 4  # vs one per merge sequentially
 
 
+def test_safe_batch_ends_at_colliding_merge():
+    # the created-pair bound assumes each accepted merge's output symbol
+    # is fresh; a candidate whose a+b matches a previously-emitted merge
+    # (or </w>) must end the batch (ADVICE r05)
+    from dirty_js_etl_spark.operators.bpe import _safe_batch
+
+    top = [
+        {"a": "t", "b": "h", "pair_count": 100},
+        {"a": "a", "b": "n", "pair_count": 50},  # 'an' already exists
+        {"a": "e", "b": "r", "pair_count": 30},
+    ]
+    got = _safe_batch(top, 3, existing={"</w>", "an"})
+    assert [(r["a"], r["b"]) for r in got] == [("t", "h")]
+    # a colliding ARGMAX is exact alone: batch of exactly one
+    got = _safe_batch(top, 3, existing={"</w>", "th"})
+    assert [(r["a"], r["b"]) for r in got] == [("t", "h")]
+    # no collision: the disjoint prefix is accepted as before
+    got = _safe_batch(top, 3, existing={"</w>"})
+    assert [(r["a"], r["b"]) for r in got] == [
+        ("t", "h"), ("a", "n"), ("e", "r")
+    ]
+
+
+def test_capped_trainer(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest newest widest"),
+            (2, "the them then there these the them banana bandana"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = learn_bpe_merges(docs, 6).orderBy("rank").collect()
+    # cap >= distinct word count: identical to the exact trainer
+    wide = learn_bpe_merges(docs, 6, max_words=1000).orderBy("rank").collect()
+    assert wide == exact
+    # tight cap: still a valid deterministic table over the top words
+    capped = learn_bpe_merges(docs, 6, max_words=3).orderBy("rank").collect()
+    again = learn_bpe_merges(docs, 6, max_words=3).orderBy("rank").collect()
+    assert capped == again
+    assert all(r["merged"] == r["left"] + r["right"] for r in capped)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        learn_bpe_merges(docs, 2, max_words=0)
+
+
 def test_batch_size_validated(spark, toy):
     with pytest.raises(ValueError, match="batch_size"):
         learn_bpe_merges(toy, 2, batch_size=0)
