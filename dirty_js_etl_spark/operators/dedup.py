@@ -25,6 +25,8 @@ Scale design (the point of each choice):
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -455,13 +457,29 @@ def dup_clusters(
 # ---------------------------------------------------------------------------
 
 
-def simhash_chunks(text: Column, n_chunks: int = 4, chunk_bits: int = 16) -> Column:
+def portable_token_hash60(t: Column) -> Column:
+    """60-bit token hash BOTH engines compute identically: the first 15
+    hex chars of md5 as a positive bigint (the x96 cross-engine idiom —
+    DuckDB spells it ``CAST('0x' || substring(md5(t), 1, 15) AS
+    BIGINT)``). Slower than xxhash64 but lets a simhash signature be
+    recomputed exactly by an ANSI-SQL oracle."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_chunks(
+    text: Column,
+    n_chunks: int = 4,
+    chunk_bits: int = 16,
+    hash_fn: Callable[[Column], Column] | None = None,
+) -> Column:
     """SimHash signature as array<int> of ``n_chunks`` × ``chunk_bits``-bit
     chunks. Per bit position: sum +1/-1 over token hashes, sign → bit.
     Pure nested array expressions (tokens → per-bit votes → chunk fold);
-    map-only, codegen'd, no Python."""
+    map-only, codegen'd, no Python. ``hash_fn`` swaps the token hash
+    (default xxhash64 — fastest; :func:`portable_token_hash60` makes the
+    signature oracle-recomputable, needing ``n_chunks*chunk_bits <= 60``)."""
     toks = F.split(normalize_text(text), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, hash_fn or (lambda t: F.xxhash64(t)))
     chunks = []
     for c in range(n_chunks):
         bits = []
@@ -498,6 +516,7 @@ def simhash_near_dup_pairs(
     n_chunks: int = 4,
     chunk_bits: int = 16,
     max_bucket_size: int = 1000,
+    hash_fn: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -507,7 +526,9 @@ def simhash_near_dup_pairs(
     """
     base = df.select(
         F.col(id_col).alias("id"),
-        simhash_chunks(F.col(text_col), n_chunks, chunk_bits).alias("sig"),
+        simhash_chunks(
+            F.col(text_col), n_chunks, chunk_bits, hash_fn
+        ).alias("sig"),
     )
     return chunked_signature_pairs(base, max_hamming, max_bucket_size)
 

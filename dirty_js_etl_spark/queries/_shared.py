@@ -97,18 +97,15 @@ def register(name: str, oracle: str | None):
 _SENTINELS: list[str] = [
     # evergreen §2 canary
     "t5_merge_full",
-    # round 5: the two r04 driver-red rows (NTZ epoch math, fixed at the
-    # catalog read boundary + per-query cast idiom) must lead the window
-    "x61_moving_avg_range",
-    "x139_asof_nearest",
-    # round 5: x35 gained a deterministic oracle (exact counts hash-checked,
-    # sketch estimates as in-bound booleans) — re-verify under the driver
-    "x35_sketches",
-    # round 5: asof_join's fill switched to wholesale row-structs
-    # (ADVICE r04) — re-verify the whole family under the driver
-    "x21_asof_join",
-    "x106_asof_forward",
-    "x158_asof_tolerance",
+    # round 6: the LSH pipeline's materialization point moved from the
+    # exploded posting rows to the signature table — re-verify under
+    # the driver (rows-only, but the row count is the contract)
+    "x6_minhash_lsh_pairs",
+    # round 6: x7 switched to the portable 60-bit token hash and gained
+    # a full signature-recomputing DuckDB oracle — its cumulative green
+    # rows are for the old rows-only check, so it must re-lead the
+    # window to get its first HASH-checked driver row
+    "x7_simhash_pairs",
 ]
 
 

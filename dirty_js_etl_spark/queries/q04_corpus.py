@@ -218,12 +218,94 @@ def x36_dup_clusters(spark, sf_dir):
     return dup_clusters(pairs)
 
 
-@register("x7_simhash_pairs", None)  # approximate -> rows-only check
+def _x7_oracle_sql(
+    n_chunks: int = 4, chunk_bits: int = 15, cap: int = 1000, maxham: int = 3
+) -> str:
+    """DuckDB recomputation of the FULL simhash pipeline — signatures
+    (portable 60-bit md5 token hash, per-bit +1/-1 votes), pigeonhole
+    chunk join, the hot-bucket cap, and exact hamming — so x7 is
+    hash-checked end to end (VERDICT r05 #4: the banding IS
+    SQL-expressible once the token hash is engine-portable)."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {c * chunk_bits + i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS v_{c}_{i}"
+        for c in range(n_chunks)
+        for i in range(chunk_bits)
+    )
+    sigs = ",\n         ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN v_{c}_{i} > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(chunk_bits)
+        )
+        + f") AS c{c}"
+        for c in range(n_chunks)
+    )
+    chunks_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {c} AS chunk_idx, c{c} AS chunk_val FROM sigs"
+        for c in range(n_chunks)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.c{c}, sb.c{c}))" for c in range(n_chunks)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(unnest(w)), 1, 15) AS BIGINT) AS h
+  FROM words
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+         {sigs}
+  FROM votes
+), chunks AS (
+  {chunks_union}
+), ok AS (
+  SELECT chunk_idx, chunk_val FROM chunks
+  GROUP BY 1, 2 HAVING count(*) <= {cap}
+), kept AS (
+  SELECT c.* FROM chunks c JOIN ok USING (chunk_idx, chunk_val)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+  FROM cands
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {maxham}
+"""
+
+
+@register("x7_simhash_pairs", _x7_oracle_sql())
 def x7_simhash_pairs(spark, sf_dir):
-    from dirty_js_etl_spark.operators.dedup import simhash_near_dup_pairs
+    # portable md5-based 60-bit token hash (4 chunks × 15 bits) so the
+    # oracle recomputes the identical signature; the production default
+    # stays xxhash64 (operators/dedup.py) — same algorithm, faster hash
+    from dirty_js_etl_spark.operators.dedup import (
+        portable_token_hash60,
+        simhash_near_dup_pairs,
+    )
 
     docs = _cat(spark, sf_dir).read("documents")
-    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return simhash_near_dup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        max_hamming=3,
+        chunk_bits=15,
+        hash_fn=portable_token_hash60,
+    )
 
 
 _X8_SQL = """

@@ -519,9 +519,79 @@ def x156_bpe_vocab(spark, sf_dir):
     return learn_bpe_merges(docs, n_merges=12)
 
 
-@register("x163_phash_near_dup", None)  # perceptual signature rides a
-# numpy kernel; rows-only + planted-duplicate tests in
-# tests/test_multimodal.py
+def _x163_oracle_sql(cap: int = 1000, maxham: int = 3) -> str:
+    """DuckDB recomputation of the FULL perceptual-hash pipeline
+    (VERDICT r05 #4): payload bytes (= UTF-8 text — the fixture
+    payloads are ASCII, so ``ord`` per char IS the byte), numpy
+    ``array_split``'s first-r-cells-get-the-extra-byte layout, cell
+    mean vs global mean bits (integer byte sums ≤ a few hundred values
+    are EXACT in IEEE double on both engines, so the strict > compares
+    identical floats), 4×16-bit packing, the pigeonhole chunk join
+    with the hot-bucket cap, and exact hamming."""
+    sig_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN c // 16 = {k} THEN bit * (1 << (c % 16)) "
+        f"ELSE 0 END) AS INT) AS c{k}"
+        for k in range(4)
+    )
+    chunks_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {k} AS chunk_idx, c{k} AS chunk_val FROM sigs"
+        for k in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(sa.c{k}, sb.c{k}))" for k in range(4))
+    return f"""
+WITH params AS (
+  SELECT doc_id, length(text) AS n,
+         length(text) // 64 AS l, length(text) % 64 AS r
+  FROM documents
+), bytes AS (
+  SELECT d.doc_id, t.i,
+         ord(substring(d.text, CAST(t.i AS INT) + 1, 1)) AS v
+  FROM documents d, unnest(range(length(d.text))) AS t(i)
+), cellbytes AS (
+  SELECT b.doc_id,
+         CASE WHEN b.i < p.r * (p.l + 1) THEN b.i // (p.l + 1)
+              ELSE p.r + (b.i - p.r * (p.l + 1)) // greatest(p.l, 1)
+         END AS cell, b.v
+  FROM bytes b JOIN params p USING (doc_id)
+), cellmeans AS (
+  SELECT doc_id, cell, avg(v) AS m FROM cellbytes GROUP BY 1, 2
+), gmeans AS (
+  SELECT doc_id, avg(v) AS gm FROM bytes GROUP BY 1
+), spine AS (
+  SELECT p.doc_id, t.c FROM params p, unnest(range(64)) AS t(c)
+), bits AS (
+  SELECT s.doc_id, s.c,
+         CASE WHEN coalesce(cm.m, 0.0) > g.gm THEN 1 ELSE 0 END AS bit
+  FROM spine s
+  LEFT JOIN cellmeans cm ON cm.doc_id = s.doc_id AND cm.cell = s.c
+  LEFT JOIN gmeans g ON g.doc_id = s.doc_id
+), sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM bits GROUP BY doc_id
+), chunks AS (
+  {chunks_union}
+), ok AS (
+  SELECT chunk_idx, chunk_val FROM chunks
+  GROUP BY 1, 2 HAVING count(*) <= {cap}
+), kept AS (
+  SELECT c.* FROM chunks c JOIN ok USING (chunk_idx, chunk_val)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+  FROM cands
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, hamming FROM scored WHERE hamming <= {maxham}
+"""
+
+
+@register("x163_phash_near_dup", _x163_oracle_sql())
 def x163_phash_near_dup(spark, sf_dir):
     # Multimodal near-dup: average-hash signatures from the payload
     # bytes (map-only Arrow kernel — the bytes never shuffle) + the
