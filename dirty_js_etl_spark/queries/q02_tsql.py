@@ -478,3 +478,201 @@ def t12_dry_run_invariance(spark, sf_dir):
     return stored.unionByName(computed)
 
 
+
+
+@register(
+    "t15_pipeline_run",
+    """
+SELECT 'dim_nation' AS destination,
+       (SELECT count(*) FROM nation) AS n_rows,
+       (SELECT count(*) FROM nation) AS n_insert,
+       CAST(0 AS BIGINT) AS n_update
+UNION ALL
+SELECT 'users',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer WHERE c_custkey % 2 = 1),
+       (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+""",
+)
+def t15_pipeline_run(spark, sf_dir):
+    # T15 — script assembly (tsql2008.js:345-358 builds ONE script from
+    # every registered mapping): two mappings on one Pipeline, one
+    # run() call, and the per-table TableRunResult map comes back as an
+    # observable run-summary relation — rows after the run plus audit
+    # action counts per destination — so the runner surface is
+    # driver-hash-checked rather than pytest-only (VERDICT r05 #8).
+    # dim_nation appends the full nation table into an empty seed
+    # (T7 path, all-INSERT audit); users is the flagship merge (T5
+    # path, odd custkeys INSERT / even custkeys UPDATE by fixture
+    # construction).
+    cat = _users_cat(spark, sf_dir)
+    nation = cat.read("nation")
+    cat.register(
+        "dim_nation",
+        nation.select(
+            F.col("n_nationkey").alias("nk"), F.col("n_name").alias("name")
+        ).limit(0),
+    )
+    pipe = (
+        Pipeline()
+        .use_mapping(
+            MappingSpec(
+                destination="dim_nation",
+                source="nation",
+                columns={
+                    "nk": DirectCopy("n_nationkey"),
+                    "name": DirectCopy("n_name"),
+                },
+            )
+        )
+        .use_mapping(users_mapping())
+    )
+    results = pipe.run(cat)
+    summaries = []
+    for dest_name in ("dim_nation", "users"):
+        tr = results[dest_name]
+        audit = tr.audit_per_pass[-1]
+        counts = tr.result.agg(
+            F.count(F.lit(1)).alias("n_rows")
+        ).crossJoin(
+            audit.agg(
+                F.sum(
+                    F.when(F.col("_action") == "INSERT", 1).otherwise(0)
+                ).cast("long").alias("n_insert"),
+                F.sum(
+                    F.when(F.col("_action") == "UPDATE", 1).otherwise(0)
+                ).cast("long").alias("n_update"),
+            )
+        )
+        summaries.append(
+            counts.select(
+                F.lit(dest_name).alias("destination"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                "n_insert",
+                "n_update",
+            )
+        )
+    return summaries[0].unionByName(summaries[1])
+
+
+@register(
+    "t13_temp_qualified",
+    """
+SELECT c_custkey AS orig_id,
+       upper(c_name) AS name_u,
+       CAST(length(rtrim(c_mktsegment)) AS INT) AS seg_len,
+       CAST(strpos(c_name, '#') AS INT) AS pos_hash,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'none') AS fallback
+FROM customer WHERE c_custkey <= 500
+""",
+)
+def t13_temp_qualified(spark, sf_dir):
+    # T13 — temp tables + T-SQL name/function spellings as one
+    # observable query: the mapping's SOURCE is an overlay-only temp
+    # relation (reference '#temp' passes through unqualified,
+    # tsql2008.js:8) and every column is a dialect='tsql' Sql
+    # passthrough — [bracketed] identifiers, ISNULL, LEN (trailing-space
+    # rule), CHARINDEX (argument order preserved: DuckDB strpos swaps) —
+    # so the lexical shim's output is driver-hash-checked, not
+    # pytest-only (VERDICT r05 #8).
+    cat = _cat(spark, sf_dir)
+    cat.register(
+        "#staging", cat.read("customer").filter(F.col("c_custkey") <= 500)
+    )
+    spec = MappingSpec(
+        destination="__out",
+        source="#staging",
+        columns={
+            "orig_id": DirectCopy("c_custkey"),
+            "name_u": Sql("UPPER([c_name])", dialect="tsql"),
+            "seg_len": Sql(
+                "CAST(LEN([c_mktsegment]) AS INT)", dialect="tsql"
+            ),
+            "pos_hash": Sql("CHARINDEX('#', [c_name])", dialect="tsql"),
+            "fallback": Sql(
+                "ISNULL(NULLIF([c_mktsegment], 'BUILDING'), 'none')",
+                dialect="tsql",
+            ),
+        },
+    )
+    return compile_mapping(spec, cat).projected
+
+
+@register(
+    "t14_print_messages",
+    """
+SELECT * FROM (VALUES
+  (1, 'BEGIN PASS 1 of 1'),
+  (2, 'INFO: Loading users'),
+  (3, 'END PASS 1')) AS t(seq, message)
+""",
+)
+def t14_print_messages(spark, sf_dir):
+    # T14 — PRINT → logging, driven end to end: a capturing handler on
+    # the package logger records the narration an actual Pipeline.run
+    # emits (BEGIN/END pass banners + the mapping's PRINT message,
+    # tsql2008.js PRINT statements -> log.info), and the captured lines
+    # come back as a relation. If the runner stopped logging, the rows
+    # disappear and the hash check fails.
+    import logging
+
+    logger = logging.getLogger("dirty_js_etl_spark")
+    records: list[str] = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record: logging.LogRecord) -> None:
+            records.append(record.getMessage())
+
+    handler = _Capture(level=logging.INFO)
+    old_level = logger.level
+    logger.addHandler(handler)
+    logger.setLevel(logging.INFO)
+    try:
+        cat = _users_cat(spark, sf_dir)
+        Pipeline().use_mapping(
+            users_mapping(message="Loading users")
+        ).run(cat)
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
+    return spark.createDataFrame(
+        [(i + 1, msg) for i, msg in enumerate(records)],
+        "seq int, message string",
+    )
+
+
+@register(
+    "t17_config_modes",
+    """
+SELECT 'users' AS destination, 2 AS passes, FALSE AS sql_test,
+       (SELECT count(*) FROM customer) AS n_rows
+""",
+)
+def t17_config_modes(spark, sf_dir):
+    # T17 — BuildConfig deep-merge observably: a PARTIAL modes override
+    # ({'passes': 2} without sqlTest) must keep the sqlTest default
+    # (deep merge; the reference's shallow extend would drop it), the
+    # mapping registers through the callable module form
+    # (config.useMapping(module), mappr.js:74-77), and to_pipeline
+    # carries both modes into a real 2-pass run whose row count rides
+    # along — config plumbing, registration, and execution in one
+    # hash-checked relation.
+    from dirty_js_etl_spark.plans.config import BuildConfig
+
+    cfg = BuildConfig({"modes": {"passes": 2}})
+
+    def users_module(config, args):
+        return users_mapping()
+
+    cfg.use_mapping(users_module)
+    pipe = cfg.to_pipeline()
+    cat = _users_cat(spark, sf_dir)
+    n = pipe.run(cat)["users"].result.agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return n.select(
+        F.lit("users").alias("destination"),
+        F.lit(int(pipe.passes)).alias("passes"),
+        F.lit(bool(pipe.dry_run)).alias("sql_test"),
+        F.col("n_rows"),
+    )
