@@ -34,17 +34,19 @@ def hourly_grid_fill(
     Returns ``(key, hour, filled_value)``.
     """
     hour = F.date_trunc("hour", F.col(ts_col))
-    w_last = Window.partitionBy(key_col, "hour").orderBy(
-        F.desc(ts_col), F.desc(tie_break)
-    )
+    # "last value in the hour" as max_by over the (ts, tie_break) order
+    # key: a hash aggregation with MAP-SIDE partial combine, so each
+    # input partition ships one row per (key, hour) into the shuffle.
+    # The round-1–5 row_number window computed the same thing but had
+    # to shuffle and SORT every raw event per (key, hour) partition —
+    # strictly more data movement for a single-row-per-group answer.
     hourly = (
         events.select(
-            F.col(key_col), hour.alias("hour"), F.col(value_col), F.col(ts_col),
-            F.col(tie_break),
+            F.col(key_col), hour.alias("hour"), F.col(value_col),
+            F.struct(F.col(ts_col), F.col(tie_break)).alias("__ord"),
         )
-        .withColumn("rn", F.row_number().over(w_last))
-        .filter(F.col("rn") == 1)
-        .select(key_col, "hour", F.col(value_col).alias("hour_value"))
+        .groupBy(key_col, "hour")
+        .agg(F.max_by(value_col, F.col("__ord")).alias("hour_value"))
     )
     bounds = hourly.groupBy(key_col).agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
