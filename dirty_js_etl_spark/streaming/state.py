@@ -8,7 +8,9 @@ Operator here: per-user RUNNING PURCHASE TOTAL — the canonical
 Money is accumulated in integer cents inside a ValueState, so the
 running value is exact and engine-portable: when the finite fixture
 stream drains, the last emission per user equals the batch
-``SUM(round(value*100))`` — the oracle check (x172).
+``SUM(round(value*100))`` — the equality ``test_streaming_state.py``
+asserts wherever the operator can run (see below for why it is not a
+registered driver query in this container).
 
 Scale design: state is ONE long per user (RocksDB-spillable, not
 heap-bound); the shuffle is the per-key grouping every stateful op
