@@ -280,3 +280,90 @@ def apply_bpe(
     return df.withColumn(
         "bpe_tokens", F.flatten(F.transform(tok, merge_word))
     )
+
+
+def apply_bpe_batched(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow-batched BPE apply for PRODUCTION-SIZE merge tables.
+
+    :func:`apply_bpe` unrolls the merge list into a chain of nested JVM
+    folds — codegen-friendly at O(10) merges, but a 30k-merge tokenizer
+    would build a 30k-deep expression tree (planner blowup long before
+    execution). This path is the standard tokenizer algorithm instead
+    (Sennrich et al., ACL 2016 reference implementation): per word,
+    repeatedly merge the present adjacent pair with the LOWEST rank
+    until none applies — O(word_len · merges_applied) per word with a
+    dict rank lookup, independent of merge-table size.
+
+    Scale design: map-only ``mapInPandas`` (Arrow batches, no shuffle);
+    the merge table ships once per executor inside the closure (a 30k
+    table is ~1 MB — closure-size territory, broadcast territory only
+    far beyond that). Within each batch, distinct words are tokenized
+    once and reused (corpus word frequencies are Zipfian, so the cache
+    hit rate is the repetition rate of the batch).
+
+    Equivalence note: applying merges one-at-a-time in rank order (the
+    fold path) and min-rank-first iteration (this path) agree except in
+    a pathological case — a later merge re-creating an EARLIER merge's
+    pair — which requires the earlier pair to be reconstructible from a
+    later merge's output symbol; ``tests/test_bpe.py`` pins agreement
+    on the fixture corpora. Adds ``bpe_tokens array<string>``.
+    """
+    rank = {pair: i for i, pair in enumerate(merges)}
+    out_fields = None  # set per-batch from the incoming frame
+
+    def encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [_EOW]
+        while len(syms) >= 2:
+            best = None
+            best_rank = None
+            for p in zip(syms, syms[1:]):
+                r = rank.get(p)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = p, r
+            if best is None:
+                break
+            a, b = best
+            merged: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        cache[word] = syms
+        return syms
+
+    def kernel(batches):
+        for pdf in batches:
+            cache: dict = {}
+            toks = []
+            for text in pdf[text_col]:
+                text = " ".join(str(text).lower().strip().split())
+                row: list[str] = []
+                for w in text.split(" "):
+                    if w:
+                        row.extend(encode_word(w, cache))
+                toks.append(row)
+            out = pdf.copy()
+            out["bpe_tokens"] = toks
+            yield out
+
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add mutates in place, which would
+    # corrupt the source DataFrame's cached schema
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("bpe_tokens", T.ArrayType(T.StringType()))]
+    )
+    return df.mapInPandas(kernel, schema=schema)

@@ -179,6 +179,57 @@ def test_capped_trainer(spark):
         learn_bpe_merges(docs, 2, max_words=0)
 
 
+def test_apply_bpe_batched_matches_fold(spark):
+    # the Arrow-batched production apply (min-rank iteration, dict
+    # lookups — merge-table-size independent) must agree with the
+    # JVM fold path on real corpora, including ties/overlaps
+    from dirty_js_etl_spark.operators.bpe import apply_bpe_batched
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest newest widest"),
+            (2, "the them then there these the them banana bandana"),
+            (3, "aaa aab aba abab ababab banana"),
+            (4, "  MIXED   Case \t whitespace  runs "),
+        ],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, 10).orderBy("rank").collect()
+    ]
+    fold = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(docs, merges).collect()}
+    batched = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe_batched(docs, merges).collect()
+    }
+    assert batched == fold
+    # schema: source columns preserved + bpe_tokens appended, and the
+    # source frame's own schema is NOT mutated by the construction
+    out = apply_bpe_batched(docs, merges)
+    assert out.columns == ["doc_id", "text", "bpe_tokens"]
+    assert docs.columns == ["doc_id", "text"]
+
+
+def test_apply_bpe_batched_large_merge_table(spark):
+    # a production-size merge table must not blow up the plan: the fold
+    # path would build one nested aggregate per merge; the batched path
+    # ships a dict. 3000 synthetic merges (mostly inapplicable) over a
+    # small corpus completes as a single map stage.
+    from dirty_js_etl_spark.operators.bpe import apply_bpe_batched
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab ba bb aa ab"), (2, "ba bb aa")],
+        "doc_id long, text string",
+    )
+    merges = [("a", "a"), ("b", "b")] + [
+        (f"q{i}", f"z{i}") for i in range(3000)
+    ]
+    out = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe_batched(docs, merges).collect()}
+    assert out[1] == ["aa", "</w>", "a", "b", "</w>", "b", "a", "</w>",
+                      "bb", "</w>", "aa", "</w>", "a", "b", "</w>"]
+
+
 def test_batch_size_validated(spark, toy):
     with pytest.raises(ValueError, match="batch_size"):
         learn_bpe_merges(toy, 2, batch_size=0)
