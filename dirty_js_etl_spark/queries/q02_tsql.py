@@ -611,7 +611,7 @@ def t14_print_messages(spark, sf_dir):
     # T14 — PRINT → logging, driven end to end: a capturing handler on
     # the package logger records the narration an actual Pipeline.run
     # emits (BEGIN/END pass banners + the mapping's PRINT message,
-    # tsql2008.js PRINT statements -> log.info), and the captured lines
+    # tsql2008.js:21 sqlPrint -> log.info), and the captured lines
     # come back as a relation. If the runner stopped logging, the rows
     # disappear and the hash check fails.
     import logging
