@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from dirty_js_etl_spark.catalog import fixture_catalog
-from dirty_js_etl_spark.operators.bpe import learn_bpe_merges
+from dirty_js_etl_spark.operators.bpe import apply_bpe_batched, learn_bpe_merges
 from dirty_js_etl_spark.operators.corpus import (
     containment_scores,
     domain_quality,
@@ -97,8 +97,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     train = train.join(F.broadcast(good_domains), "source")
     n4 = train.count()
 
-    # 5. learn a small BPE merge table from the survivors
+    # 5. learn a small BPE merge table from the survivors, then
+    #    tokenize the corpus with the production (Arrow-batched) apply —
+    #    the path that stays flat as the merge table grows to 30k
     merges = learn_bpe_merges(train, n_merges=8)
+    merge_list = [
+        (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+    ]
+    train = apply_bpe_batched(train, merge_list)
 
     # 6. pack into 512-token training sequences per language
     packed = pack_sequences(
@@ -115,7 +121,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"after paragraph dedup:    {n2}")
     print(f"after near-dup clusters:  {n3}")
     print(f"after decontam + domains: {n4}")
-    print(f"learned BPE merges:       {merges.count()}")
+    print(f"learned BPE merges:       {len(merge_list)}")
     print(f"packed train sequences:   {n_seqs}")
 
 
