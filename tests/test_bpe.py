@@ -233,3 +233,115 @@ def test_apply_bpe_batched_large_merge_table(spark):
 def test_batch_size_validated(spark, toy):
     with pytest.raises(ValueError, match="batch_size"):
         learn_bpe_merges(toy, 2, batch_size=0)
+
+
+# ---------------------------------------------------------------------------
+# property tests (driver-side only, no Spark jobs)
+# ---------------------------------------------------------------------------
+
+
+def test_safe_batch_properties():
+    # for arbitrary sorted candidate tables and collision sets, the
+    # accepted batch is (1) a non-empty prefix of the disjoint chain,
+    # (2) mutually symbol-disjoint, (3) fresh except possibly its head,
+    # and (4) strictly above the cutoff after the head
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dirty_js_etl_spark.operators.bpe import _safe_batch
+
+    sym = st.text(alphabet="abcd", min_size=1, max_size=2)
+
+    @st.composite
+    def candidate_tables(draw):
+        n = draw(st.integers(min_value=1, max_value=8))
+        pairs = draw(
+            st.lists(
+                st.tuples(sym, sym), min_size=n, max_size=n, unique=True
+            )
+        )
+        counts = sorted(
+            draw(
+                st.lists(
+                    st.integers(min_value=1, max_value=50),
+                    min_size=n,
+                    max_size=n,
+                )
+            ),
+            reverse=True,
+        )
+        rows = [
+            {"a": a, "b": b, "pair_count": c}
+            for (a, b), c in zip(sorted(pairs), counts)
+        ]
+        rows.sort(key=lambda r: (-r["pair_count"], r["a"], r["b"]))
+        existing = draw(
+            st.frozensets(
+                st.sampled_from([r["a"] + r["b"] for r in rows] + ["</w>"]),
+                max_size=3,
+            )
+        )
+        want = draw(st.integers(min_value=1, max_value=n))
+        return rows, want, existing
+
+    @settings(max_examples=200, deadline=None)
+    @given(candidate_tables())
+    def run(case):
+        rows, want, existing = case
+        got = _safe_batch(rows, want, existing)
+        assert 1 <= len(got) <= want
+        assert got == rows[: len(got)]  # a prefix, in order
+        used: set[str] = set()
+        for i, r in enumerate(got):
+            syms = {r["a"], r["b"], r["a"] + r["b"]}
+            assert not (syms & used)
+            if i > 0:  # non-head rows must be fresh
+                assert r["a"] + r["b"] not in existing
+            used |= syms
+        if len(rows) > len(got):
+            cutoff = rows[len(got)]["pair_count"]
+            for r in got[1:]:
+                assert r["pair_count"] > cutoff
+
+    run()
+
+
+def test_portable_hash_parity_with_duckdb(spark):
+    # the x7 oracle only works if both engines hash every token to the
+    # same 60-bit value; pin it over randomized strings
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dirty_js_etl_spark.operators.dedup import portable_token_hash60
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(texts)
+    def run(words):
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        sp = {
+            r["w"]: r["h"]
+            for r in df.select(
+                "w", portable_token_hash60(F.col("w")).alias("h")
+            ).collect()
+        }
+        for w in words:
+            d = con.execute(
+                "SELECT CAST('0x' || substring(md5(?), 1, 15) AS BIGINT)",
+                [w],
+            ).fetchone()[0]
+            assert sp[w] == d, w
+
+    run()
