@@ -48,24 +48,39 @@ def hourly_grid_fill(
         .groupBy(key_col, "hour")
         .agg(F.max_by(value_col, F.col("__ord")).alias("hour_value"))
     )
-    bounds = hourly.groupBy(key_col).agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    grid = bounds.select(
-        key_col,
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("hour"),
-    )
-    w_fill = (
-        Window.partitionBy(key_col)
-        .orderBy("hour")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    # Gap fill WITHOUT the grid join (rounds 1–5: explode a per-key
+    # bounds sequence, left-join the hourly values back, then window
+    # over every grid row). Instead each OBSERVED hour emits the hours
+    # up to (exclusive) the next observed hour, carrying the running
+    # ignore-nulls fill computed before the explode — so both window
+    # functions share one (key)-partitioned sort over the small hourly
+    # relation, the explode is map-side, and the join + bounds
+    # aggregation disappear. Grid coverage is identical (first..last
+    # observed hour per key) and a NULL hour_value still inherits the
+    # previous non-null fill, matching the oracle's IGNORE NULLS carry.
+    w = Window.partitionBy(key_col).orderBy("hour")
+    w_fill = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
-        grid.join(hourly, [key_col, "hour"], "left")
-        .withColumn(
-            "filled_value", F.last("hour_value", ignorenulls=True).over(w_fill)
+        hourly.select(
+            key_col,
+            "hour",
+            F.last("hour_value", ignorenulls=True).over(w_fill).alias(
+                "filled_value"
+            ),
+            F.lead("hour").over(w).alias("__next"),
         )
-        .select(key_col, "hour", "filled_value")
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    "hour",
+                    F.coalesce(
+                        F.col("__next") - F.expr("INTERVAL 1 HOUR"),
+                        F.col("hour"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
+            ).alias("hour"),
+            "filled_value",
+        )
     )
