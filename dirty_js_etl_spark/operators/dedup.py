@@ -160,6 +160,8 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    hash_fn: Callable[[Column], Column] | None = None,
+    portable_bands: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH, verified with the
     *true* shingle Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
@@ -167,6 +169,12 @@ def minhash_lsh_pairs(
     Pipeline: signature projection (map-only) → explode bands → hot-bucket
     cap → bucket self-join (the one shuffle) → distinct candidate pairs →
     verify with exact Jaccard on the shingle arrays.
+
+    ``hash_fn`` swaps the shingle hash (default xxhash64; pass
+    :func:`portable_token_hash60` for an oracle-recomputable pipeline)
+    and ``portable_bands=True`` buckets each band on the md5-derived
+    60-bit hash instead of xxhash64 so the band join, the hot-bucket
+    cap, and therefore the exact candidate set are engine-portable too.
     """
     rows = num_perm // bands
     sh_base = df.select(
@@ -187,7 +195,10 @@ def minhash_lsh_pairs(
     # the corpus row count, and a cluster re-scans cheaper than it
     # round-trips that through local disk.
     exploded = sh_base.select(
-        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
+        "id",
+        F.explode(
+            F.transform("sh", hash_fn or (lambda s: F.xxhash64(s)))
+        ).alias("g"),
     )
     # codegen-friendly signature table (see minhash_signature_table);
     # band j buckets on the hash of its contiguous r-column slice. The
@@ -208,13 +219,18 @@ def minhash_lsh_pairs(
     sig_tbl = _signature_from_hashed(
         exploded, num_perm, seed, with_size=True
     ).localCheckpoint(eager=True)
+
+    def _bucket(cols):
+        joined = F.concat_ws("_", *cols)
+        if portable_bands:
+            return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+        return F.xxhash64(joined)
+
     buckets = F.array(
         *[
-            F.xxhash64(
-                F.concat_ws(
-                    "_", *[F.col(f"m{j * rows + i}") for i in range(rows)]
-                )
-            )
+            _bucket([F.col(f"m{j * rows + i}") for i in range(rows)])
             for j in range(bands)
         ]
     )

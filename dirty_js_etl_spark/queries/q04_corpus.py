@@ -185,6 +185,108 @@ def x6_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5)
 
 
+def _x6b_oracle_sql(
+    num_perm: int = 32,
+    bands: int = 8,
+    cap: int = 1000,
+    seed: int = 42,
+) -> str:
+    """DuckDB recomputation of the FULL MinHash+LSH pipeline — portable
+    60-bit md5 shingle hashes, the (a*h+b) mod P signature family with
+    the SAME seeded constants as the Spark plan, md5-derived band
+    buckets, the hot-bucket cap, and the count-based exact-Jaccard
+    verify — so the flagship near-dup operator has a value-checked
+    variant alongside the xxhash64 production default (x6, rows-only).
+    All arithmetic is integer (a*h < 2^62, no overflow on either
+    engine) and both engines hash the identical bytes, so the candidate
+    set and every jaccard agree bit-for-bit."""
+    from dirty_js_etl_spark.operators.dedup import _P, _hash_params
+
+    rows = num_perm // bands
+    params = _hash_params(num_perm, seed)
+    mins = ",\n         ".join(
+        f"min(({a} * hp + {b}) % {_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_sel = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, CAST('0x' || substring(md5("
+        f"concat_ws('_', {', '.join(f'm{j * rows + i}' for i in range(rows))}"
+        f")), 1, 15) AS BIGINT) AS bucket FROM sigs"
+        for j in range(bands)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), shingles AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3 + 1, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM words
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h60,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % {_P} AS hp
+  FROM shingles
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  {band_sel}
+), ok AS (
+  SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= {cap}
+), kept AS (
+  SELECT b.* FROM banded b JOIN ok USING (band, bucket)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM hashed GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c
+  JOIN hashed ha ON ha.doc_id = c.id_a
+  JOIN hashed hb ON hb.doc_id = c.id_b AND hb.h60 = ha.h60
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b,
+         round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register("x6b_minhash_lsh_portable", _x6b_oracle_sql())
+def x6b_minhash_lsh_portable(spark, sf_dir):
+    # the same MinHash+LSH pipeline as x6 over engine-portable hashes
+    # (md5-60bit shingles + md5-derived band buckets), so signatures,
+    # banding, the hot-bucket cap, candidate generation, AND the exact
+    # verify are all recomputed and hash-checked by the oracle; x6
+    # stays on xxhash64 (faster) with its rows-only check
+    from dirty_js_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        portable_token_hash60,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return minhash_lsh_pairs(
+        docs,
+        "doc_id",
+        "text",
+        num_perm=32,
+        bands=8,
+        jaccard_threshold=0.5,
+        hash_fn=portable_token_hash60,
+        portable_bands=True,
+    )
+
+
 _X36_CTE = """
 WITH RECURSIVE pairs AS (
 """ + _X5_SQL + """
