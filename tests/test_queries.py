@@ -67,6 +67,8 @@ def test_window_rotation_is_mechanical():
 
     bands = [band(n) for n in tail]
     assert bands == sorted(bands), "window bands out of order"
-    # rows 1-3 artifacts are committed, so the green set is non-trivial
-    # and some never-verified queries exist to rotate in
-    assert green and any(n not in green for n in _REGISTRY)
+    # rows 1-3 artifacts are committed, so the green set is non-trivial;
+    # full driver coverage (green == registry) is the steady state once
+    # every query has been verified at least once (reached round 6) —
+    # the rotation then simply cycles already-green queries
+    assert green
