@@ -313,7 +313,6 @@ def apply_bpe_batched(
     on the fixture corpora. Adds ``bpe_tokens array<string>``.
     """
     rank = {pair: i for i, pair in enumerate(merges)}
-    out_fields = None  # set per-batch from the incoming frame
 
     def encode_word(word: str, cache: dict) -> list[str]:
         got = cache.get(word)
@@ -343,12 +342,27 @@ def apply_bpe_batched(
         cache[word] = syms
         return syms
 
+    # mirror normalize_text (text.py) EXACTLY, not Python's Unicode-aware
+    # string methods: F.trim strips only U+0020, and Java-regex \s is the
+    # ASCII class [ \t\n\x0B\f\r] (NBSP is a word character to the fold
+    # path; Python .strip()/.split() would treat it as whitespace and
+    # silently diverge — ADVICE r06)
+    import re
+
+    _ascii_ws = re.compile("[ \t\n\x0b\f\r]+")
+
     def kernel(batches):
+        import pandas as pd
+
         for pdf in batches:
             cache: dict = {}
             toks = []
             for text in pdf[text_col]:
-                text = " ".join(str(text).lower().strip().split())
+                if text is None or (isinstance(text, float) and text != text) or text is pd.NA:
+                    # fold path: normalize/split of NULL is NULL
+                    toks.append(None)
+                    continue
+                text = _ascii_ws.sub(" ", str(text).strip(" ").lower())
                 row: list[str] = []
                 for w in text.split(" "):
                     if w:

@@ -191,6 +191,10 @@ def test_apply_bpe_batched_matches_fold(spark):
             (2, "the them then there these the them banana bandana"),
             (3, "aaa aab aba abab ababab banana"),
             (4, "  MIXED   Case \t whitespace  runs "),
+            (5, None),  # NULL text -> NULL bpe_tokens on both paths
+            # NBSP is NOT whitespace to normalize_text (Java \s is the
+            # ASCII class): "low low" is ONE word on both paths
+            (6, "low\u00a0low lower\u00a0"),
         ],
         "doc_id long, text string",
     )
