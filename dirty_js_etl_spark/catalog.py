@@ -98,10 +98,32 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """
     par = spark.sparkContext.defaultParallelism
     try:
-        nfiles = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # noqa: BLE001 — non-file relation: leave as-is
         return df
-    if 0 < nfiles < par:
+    nfiles = len(files)
+    if not 0 < nfiles < par:
+        return df
+    # A big SPLITTABLE file is not under-split: Spark carves it into
+    # ~size/maxPartitionBytes scan partitions, so only reshuffle when the
+    # estimated scan partition count is ALSO below parallelism (ADVICE
+    # r06 — file count alone reshuffled large single-file tables).
+    try:
+        max_bytes = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+            .lower()
+            .removesuffix("b")
+        )
+    except ValueError:
+        max_bytes = 134217728
+    total = 0
+    for uri in files:
+        path = uri.removeprefix("file:")
+        if not os.path.exists(path):
+            return df  # remote storage: trust Spark's own split planning
+        total += os.path.getsize(path)
+    est_splits = max(nfiles, -(-total // max_bytes))
+    if est_splits < par:
         df = df.repartition(par)
     return df
 
@@ -148,16 +170,21 @@ def _harden_session(spark: SparkSession) -> None:
     except Exception:  # noqa: BLE001
         tz = None
     if tz != "UTC":
-        import warnings
-
-        warnings.warn(
+        msg = (
             "spark.sql.session.timeZone could not be set to UTC "
             f"(currently {tz!r}); TIMESTAMP_NTZ fixture columns will be "
             "reinterpreted in the session zone and epoch math will "
-            "disagree with the naive-UTC oracle read",
-            RuntimeWarning,
-            stacklevel=2,
+            "disagree with the naive-UTC oracle read"
         )
+        # Wrong answers are worse than a loud failure in a 226-query
+        # sweep (VERDICT r06) — raise unless the caller explicitly opts
+        # into warn-only (e.g. a deliberately non-UTC exploratory shell).
+        if os.environ.get("SPARK_GRAFT_TZ_WARN_ONLY") == "1":
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
 
 
 def fixture_catalog(spark: SparkSession, sf_dir: str) -> Catalog:
