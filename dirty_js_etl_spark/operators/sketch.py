@@ -43,8 +43,16 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def _bloom_pos(key: Column, j: Column, m_bits: int) -> Column:
-    """Bit position of hash ``j`` for ``key``: pmod(xxhash64(key, j), m)."""
+def _bloom_pos(
+    key: Column, j: Column, m_bits: int, portable: bool = False
+) -> Column:
+    """Bit position of hash ``j`` for ``key``: pmod(xxhash64(key, j), m),
+    or — with ``portable=True`` — the md5-hex spelling every engine can
+    reproduce (``conv(substring(md5(j || ':' || key), 1, 8), 16, 10) %
+    m``, same trick as :func:`cms_bucket`), trading xxhash64's speed for
+    an external-oracle-checkable filter."""
+    if portable:
+        return cms_bucket(key, j, m_bits)
     return F.pmod(F.xxhash64(key, j), F.lit(m_bits))
 
 
@@ -63,7 +71,11 @@ def _mask(bit: Column) -> Column:
 
 
 def bloom_build(
-    members: DataFrame, key: Column, m_bits: int = 1 << 17, k: int = 5
+    members: DataFrame,
+    key: Column,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Build an ``m_bits``-bit Bloom filter over ``key`` as a ONE-row
     DataFrame ``{bloom_words: array<long>}`` (``m_bits/64`` words).
@@ -82,7 +94,7 @@ def bloom_build(
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     n_words = m_bits // 64
-    pos = _bloom_pos(F.col("__k"), F.col("__j"), m_bits)
+    pos = _bloom_pos(F.col("__k"), F.col("__j"), m_bits, portable)
     sparse = (
         members.select(key.alias("__k"))
         .select(
@@ -114,7 +126,11 @@ def bloom_build(
 
 
 def bloom_contains(
-    key: Column, words: Column, m_bits: int = 1 << 17, k: int = 5
+    key: Column,
+    words: Column,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    portable: bool = False,
 ) -> Column:
     """Boolean membership test against :func:`bloom_build`'s word array.
 
@@ -130,7 +146,7 @@ def bloom_contains(
     """
     checks = []
     for j in range(k):
-        pos = _bloom_pos(key, F.lit(j), m_bits)
+        pos = _bloom_pos(key, F.lit(j), m_bits, portable)
         word = F.element_at(words, F.shiftright(pos, 6).cast("int") + 1)
         checks.append(F.getbit(word, pos % 64) == 1)
     return reduce(lambda a, b: a & b, checks)

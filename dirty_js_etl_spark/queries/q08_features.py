@@ -198,14 +198,27 @@ def x99_interarrival_stats(spark, sf_dir):
     )
 
 
-@register("x100_weighted_sample", None)
+@register(
+    "x100_weighted_sample",
+    """
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE) /
+         (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS DOUBLE) + 1.0) AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+""",
+)
 def x100_weighted_sample(spark, sf_dir):
-    # Efraimidis-Spirakis weighted sample (weight = n_chars): longer
-    # documents are proportionally more likely to be kept.  rows-only
-    # check: the u^(1/w) ranking key is transcendental, so a SQL
-    # oracle could flip an adjacent pair on a final-ULP difference;
-    # the property tests in test_corpus.py pin the semantics instead
-    # (equal weights == plain bottom-k hash sample, determinism under
+    # Weighted sample (weight = n_chars): longer documents are
+    # proportionally more likely to be kept.  The Pareto-race key w/u
+    # is ONE correctly-rounded IEEE division of exact integers, so the
+    # DuckDB oracle reproduces the ranking bit-for-bit (the previous
+    # A-Res u^(1/w) key rode non-correctly-rounded pow and was
+    # rows-only); distributional properties stay pinned by
+    # test_corpus.py (equal weights == hash sample, determinism under
     # repartitioning, monotone inclusion in weight).
     from dirty_js_etl_spark.operators.corpus import weighted_sample
 

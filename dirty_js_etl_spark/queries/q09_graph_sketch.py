@@ -1098,9 +1098,34 @@ def x146_blocklist_filter(spark, sf_dir):
     )
 
 
-@register("x147_bloom_decontaminate", None)  # Bloom FPs hinge on xxhash64,
-# which the oracle engine lacks -> rows-only + pytest vs the exact
-# anti-join (zero false negatives, FP-rate bound): tests/test_sketch.py
+@register(
+    "x147_bloom_decontaminate",
+    f"""
+WITH fp AS (
+  SELECT doc_id, lang, md5({_NORM_SQL}) AS fp,
+         doc_id % 20 = 0 AS is_member
+  FROM documents
+), probes AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4)) r(j)),
+member_bits AS (
+  SELECT DISTINCT
+         CAST('0x' || substring(
+                md5(CAST(r.j AS VARCHAR) || ':' || f.fp), 1, 8)
+              AS BIGINT) % 32768 AS pos
+  FROM fp f CROSS JOIN probes r WHERE f.is_member
+), train AS (
+  SELECT f.doc_id, f.lang,
+         CAST('0x' || substring(
+                md5(CAST(r.j AS VARCHAR) || ':' || f.fp), 1, 8)
+              AS BIGINT) % 32768 AS pos
+  FROM fp f CROSS JOIN probes r WHERE NOT f.is_member
+), hits AS (
+  SELECT t.doc_id, t.lang, count(m.pos) AS nhit
+  FROM train t LEFT JOIN member_bits m ON t.pos = m.pos
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang FROM hits WHERE nhit < 5
+""",
+)
 def x147_bloom_decontaminate(spark, sf_dir):
     # Membership screening with ZERO corpus-side join: the blocklist
     # (docs with doc_id % 20 == 0, the same eval set as x146) folds to
@@ -1113,6 +1138,11 @@ def x147_bloom_decontaminate(spark, sf_dir):
     # is independent of member count.  FP side-effect: a non-member
     # doc can be dropped at (1-e^{-kn/m})^k; with m=2^15, k=5 and the
     # fixture's n<=500 members the expected FP count is < 1e-8 rows.
+    # The portable=True bit positions come from md5 hex (cms_bucket's
+    # spelling), so the DuckDB oracle rebuilds the EXACT same filter --
+    # its false positives included -- and the membership screen is
+    # hash-checked, not just FP-bound-tested (the xxhash64 fast path
+    # stays the default for production callers).
     from dirty_js_etl_spark.operators.sketch import (
         bloom_build,
         bloom_contains,
@@ -1127,11 +1157,14 @@ def x147_bloom_decontaminate(spark, sf_dir):
         F.col("fp"),
         m_bits=m_bits,
         k=k,
+        portable=True,
     )
     return (
         docs.filter(F.col("doc_id") % 20 != 0)
         .crossJoin(F.broadcast(bloom))  # 1-row filter table: scalar attach
-        .filter(~bloom_contains(fp, F.col("bloom_words"), m_bits, k))
+        .filter(
+            ~bloom_contains(fp, F.col("bloom_words"), m_bits, k, portable=True)
+        )
         .select("doc_id", "lang")
     )
 

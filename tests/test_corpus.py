@@ -191,8 +191,8 @@ class TestWeightedSample:
         )
 
     def test_equal_weights_match_unweighted_bottom_k(self, spark):
-        # with w constant, u^(1/w) is monotone in u -- the sample must
-        # equal the top-k of the hash draw itself (pure hash sample)
+        # with w constant, w/u is anti-monotone in u -- the sample must
+        # equal the bottom-k of the hash draw itself (pure hash sample)
         from dirty_js_etl_spark.operators.corpus import weighted_sample
 
         base = _ids(spark).select("doc_id").withColumn("w", F.lit(5.0))
@@ -204,7 +204,7 @@ class TestWeightedSample:
         u = F.conv(hex8, 16, 10).cast("bigint")
         want = {
             r.doc_id
-            for r in base.orderBy(F.desc(u), "doc_id").limit(15).collect()
+            for r in base.orderBy(F.asc(u), "doc_id").limit(15).collect()
         }
         assert got == want
 
