@@ -2,15 +2,21 @@
 decode/feature-extract as Arrow-batched Pandas operations over
 ``mapInPandas`` (north-star M4).
 
-The container has no image/audio libraries, so the *decode kernels* are
-stubbed two ways (both clearly marked):
+The container has no image libraries, so the decode path has two
+kernels (both clearly marked):
 
-- :func:`decode_image_stub` raises ``NotImplementedError`` — the seam
-  where Pillow/torchvision/ffmpeg plugs in on a real cluster;
+- :func:`decode_image_kernel` — a REAL, dependency-free decoder for the
+  two uncompressed formats a pure-Python parser can fully handle:
+  binary PPM (Netpbm ``P6``, comment-aware header scan) and 24-bit BMP
+  (``BITMAPINFOHEADER``, bottom-up rows, 4-byte row padding). It walks
+  the actual bytes: dims come from the parsed header, ``pixel_sum``
+  from summing every pixel byte (padding excluded). This is the seam
+  where Pillow/libvips plugs in for JPEG/PNG on a real cluster — the
+  compressed-codec kernel swaps in behind the same ``mapInPandas``
+  signature and schema.
 - :func:`fake_decode_image` is a deterministic fake (derives "width" /
-  "height" / "format" from the bytes) so the Spark-side plumbing —
-  schema, Arrow batch shapes, partitioning, UDF signature — is real and
-  tested end-to-end.
+  "height" / "format" from the byte length alone) kept for plumbing
+  tests that predate the real decoder.
 
 Scale notes: payloads stay opaque ``binary`` columns end-to-end (never
 stringified); ``mapInPandas`` streams Arrow record batches so peak memory
@@ -62,17 +68,134 @@ def attach_binary_payload(
     )
 
 
-def decode_image_stub(pdf: "pd.DataFrame") -> "pd.DataFrame":
-    """REAL-DECODE SEAM — intentionally unimplemented in this container.
+def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthetic REAL-image payload builder: wraps each row's text bytes
+    into a genuine binary PPM (Netpbm ``P6``) image whose dimensions
+    derive from the text length (``w = L%16+1``, ``h = L%12+1``) and
+    whose pixel bytes are the text tiled cyclically to ``w*h*3`` bytes.
 
-    On a cluster with Pillow installed, replace the body with
-    ``PIL.Image.open(io.BytesIO(b))`` per payload and return the same
-    schema as :func:`fake_decode_image`.
+    The construction is pure JVM string expressions (repeat + substr —
+    valid because the fixtures are ASCII, where chars == bytes; binary
+    payload ingestion on a real cluster reads actual image files
+    instead), so an external SQL engine can predict every byte of the
+    payload — which is what lets x16's DuckDB oracle hash-check a REAL
+    decoder's output (header-parsed dims + pixel_sum) end-to-end.
     """
-    raise NotImplementedError(
-        "image decode requires Pillow/libvips, not present in this container; "
-        "use fake_decode_image for plumbing tests"
+    t = F.col(text_col)
+    length = F.octet_length(t)
+    w = length % 16 + 1
+    h = length % 12 + 1
+    npix = w * h * F.lit(3)
+    reps = F.ceil(npix / length).cast("int")
+    tiled = F.substring(F.repeat(t, reps), 1, npix)
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
     )
+    return df.withColumn("payload", F.encode(F.concat(header, tiled), "UTF-8"))
+
+
+def _parse_ppm(data: bytes):
+    """Parse a binary PPM (``P6``) header per the Netpbm spec: magic,
+    then three decimal tokens (width, height, maxval) separated by
+    whitespace runs and ``#`` comments, then ONE whitespace byte before
+    the pixel plane. Returns ``(width, height, pixel_offset)``."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and data[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    return fields[0], fields[1], pos
+
+
+def _parse_bmp(data: bytes):
+    """Parse a 24-bit uncompressed BMP (``BITMAPINFOHEADER``): dims from
+    the DIB header, pixel rows bottom-up with 4-byte padding. Returns
+    ``(width, height, pixel_sum)`` — pixel_sum over actual pixel bytes,
+    row padding excluded."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    width, height = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    height = abs(height)  # negative height = top-down row order
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    total = 0
+    for r in range(height):
+        row = data[pix_off + r * stride : pix_off + r * stride + row_bytes]
+        total += sum(row)
+    return width, height, total
+
+
+DECODED_IMAGE_REAL_SCHEMA = (
+    "doc_id bigint, byte_len bigint, width int, height int, "
+    "format string, pixel_sum bigint"
+)
+
+
+def decode_image_kernel(
+    batches: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """REAL decode kernel (``mapInPandas`` signature): sniffs the magic
+    bytes and fully parses PPM (P6) and 24-bit BMP payloads — header
+    dims + a sum over every actual pixel byte. Unknown formats degrade
+    to ``(UNKNOWN, -1×-1, pixel_sum 0)`` rather than poisoning the
+    batch. Pillow/libvips for compressed codecs swaps in here."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids, lens, ws, hs, fmts, sums = [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            ids.append(doc_id)
+            lens.append(len(data))
+            try:
+                if data[:2] == b"P6":
+                    w, h, off = _parse_ppm(data)
+                    ws.append(w)
+                    hs.append(h)
+                    fmts.append("PPM")
+                    sums.append(sum(data[off : off + w * h * 3]))
+                elif data[:2] == b"BM":
+                    w, h, s = _parse_bmp(data)
+                    ws.append(w)
+                    hs.append(h)
+                    fmts.append("BMP")
+                    sums.append(s)
+                else:
+                    raise ValueError("unknown magic")
+            except (ValueError, IndexError):
+                ws.append(-1)
+                hs.append(-1)
+                fmts.append("UNKNOWN")
+                sums.append(0)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "byte_len": lens,
+                "width": ws,
+                "height": hs,
+                "format": fmts,
+                "pixel_sum": sums,
+            }
+        ).astype({"width": "int32", "height": "int32"})
 
 
 def fake_decode_image(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -96,16 +219,16 @@ def fake_decode_image(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFra
 
 def decode_images(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     """Decode the payload column into image metadata via Arrow-batched
-    ``mapInPandas``. ``use_real_decoder=True`` hits the unimplemented
-    seam (raises at execution time in this container)."""
+    ``mapInPandas``. ``use_real_decoder=True`` runs the real PPM/BMP
+    byte parser (:func:`decode_image_kernel`, 6-column schema with
+    ``pixel_sum``); the default stays the legacy deterministic fake
+    (5-column schema) for plumbing tests."""
     if use_real_decoder:
-        def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            for pdf in batches:
-                yield decode_image_stub(pdf)
-    else:
-        kernel = fake_decode_image
+        return df.select("doc_id", "payload").mapInPandas(
+            decode_image_kernel, schema=DECODED_IMAGE_REAL_SCHEMA
+        )
     return df.select("doc_id", "payload").mapInPandas(
-        kernel, schema=DECODED_IMAGE_SCHEMA
+        fake_decode_image, schema=DECODED_IMAGE_SCHEMA
     )
 
 

@@ -853,20 +853,49 @@ def x20_audio_features(spark, sf_dir):
 
 @register(
     "x16_multimodal_decode",
-    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
-    "CAST(octet_length(encode(text)) % 640 AS INT) AS width, "
-    "CAST(octet_length(encode(text)) % 480 AS INT) AS height, "
-    "'FAKE' AS format FROM documents",
+    """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS l FROM documents
+), d AS (
+  SELECT doc_id, text, l, l % 16 + 1 AS w, l % 12 + 1 AS h FROM b
+), c AS (
+  SELECT doc_id, text, l, w, h, w * h * 3 AS npix,
+         octet_length(encode('P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+             || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10))) AS hdr
+  FROM d
+), s AS (
+  SELECT doc_id, l, w, h, npix, hdr,
+         list_sum(list_transform(range(1, l + 1),
+                  i -> ascii(substring(text, CAST(i AS INT), 1)))) AS tot,
+         CASE WHEN npix % l = 0 THEN 0 ELSE
+           list_sum(list_transform(range(1, npix % l + 1),
+                    i -> ascii(substring(text, CAST(i AS INT), 1)))) END AS pre
+  FROM c
+)
+SELECT doc_id, CAST(hdr + npix AS BIGINT) AS byte_len,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       'PPM' AS format,
+       CAST((npix // l) * tot + pre AS BIGINT) AS pixel_sum
+FROM s
+""",
 )
 def x16_multimodal_decode(spark, sf_dir):
-    # deterministic-fake decode kernel through real mapInPandas plumbing
+    # REAL decode through real mapInPandas plumbing: each document is
+    # wrapped into a genuine binary P6 PPM (header + text bytes tiled
+    # as pixels), and the Arrow-batched kernel PARSES those bytes --
+    # dims come out of the Netpbm header scan, pixel_sum out of summing
+    # the actual pixel plane.  The oracle predicts all of it
+    # arithmetically from the generation rule (tiled byte sum = full
+    # cycles x total + prefix remainder), so the byte-level decoder is
+    # hash-checked, not just shape-checked.  Scale: generation and
+    # decode are both map-only; payload bytes never shuffle.
     from dirty_js_etl_spark.operators.multimodal import (
-        attach_binary_payload,
+        attach_ppm_payload,
         decode_images,
     )
 
     docs = _cat(spark, sf_dir).read("documents")
-    return decode_images(attach_binary_payload(docs))
+    return decode_images(attach_ppm_payload(docs), use_real_decoder=True)
 
 
 # ---------------------------------------------------------------------------

@@ -47,9 +47,77 @@ def test_fake_decode_schema_and_determinism(spark, media):
     assert all(0 <= r[2] < 640 and 0 <= r[3] < 480 for r in a)
 
 
-def test_real_decoder_seam_raises(spark, media):
-    with pytest.raises(Exception, match="(?i)pillow|notimplemented"):
-        decode_images(media, use_real_decoder=True).collect()
+def test_real_decoder_unknown_format_degrades(spark, media):
+    # text payloads carry no image magic -> UNKNOWN rows, not a crash
+    out = decode_images(media, use_real_decoder=True).collect()
+    assert len(out) == 50
+    assert all(
+        r.format == "UNKNOWN" and r.width == -1 and r.pixel_sum == 0
+        for r in out
+    )
+
+
+def test_real_decoder_ppm_roundtrip(spark, catalog):
+    # wrap text into genuine P6 bytes, then parse them back: dims from
+    # the header scan, pixel_sum from the tiled byte plane
+    from dirty_js_etl_spark.operators.multimodal import attach_ppm_payload
+
+    docs = catalog.read("documents").limit(20)
+    out = {
+        r.doc_id: r
+        for r in decode_images(
+            attach_ppm_payload(docs), use_real_decoder=True
+        ).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        data = row.text.encode()
+        length = len(data)
+        w, h = length % 16 + 1, length % 12 + 1
+        npix = w * h * 3
+        tiled = (data * (npix // length + 1))[:npix]
+        header = f"P6\n{w} {h}\n255\n".encode()
+        got = out[row.doc_id]
+        assert (got.width, got.height, got.format) == (w, h, "PPM")
+        assert got.byte_len == len(header) + npix
+        assert got.pixel_sum == sum(tiled)
+
+
+def test_parse_ppm_skips_header_comments():
+    from dirty_js_etl_spark.operators.multimodal import _parse_ppm
+
+    pixels = bytes(range(12))  # 2x2 RGB
+    data = b"P6\n# a comment\n2 # trailing\n2\n255\n" + pixels
+    w, h, off = _parse_ppm(data)
+    assert (w, h) == (2, 2)
+    assert data[off : off + 12] == pixels
+
+
+def test_parse_bmp_2x2_bottom_up_with_padding():
+    import struct
+
+    from dirty_js_etl_spark.operators.multimodal import _parse_bmp
+
+    # 2x2 24-bit BMP: rows are 6 pixel bytes + 2 padding bytes each,
+    # stored bottom-up; padding must not leak into pixel_sum
+    rows = [bytes([1, 2, 3, 4, 5, 6]), bytes([7, 8, 9, 10, 11, 12])]
+    pix = rows[1] + b"\xff\xff" + rows[0] + b"\xff\xff"  # bottom-up
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40)
+    w, h, s = _parse_bmp(hdr + dib + pix)
+    assert (w, h) == (2, 2)
+    assert s == sum(range(1, 13))  # 78, excludes the 0xff padding
+
+
+def test_decode_images_bmp_payload(spark):
+    import struct
+
+    # 1x1 24bpp -> 3 pixel bytes, stride 4 -> 1 padding byte
+    pix = bytes([10, 20, 30]) + b"\xee"
+    dib = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    bmp = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 54) + dib + pix
+    df = spark.createDataFrame([(1, bytearray(bmp))], "doc_id long, payload binary")
+    got = decode_images(df, use_real_decoder=True).collect()[0]
+    assert (got.width, got.height, got.format, got.pixel_sum) == (1, 1, "BMP", 60)
 
 
 def test_resize_scale_factors(spark, media):
