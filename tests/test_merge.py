@@ -162,3 +162,51 @@ def test_merge_into_sql_render():
     assert "ON D.`k` = S.`k`" in sql
     assert "UPDATE SET D.`v` = S.`v`" in sql
     assert "INSERT (`k`, `v`)" in sql
+
+
+def test_merge_into_sql_goldens():
+    # Exact renders for every mode x key-kind combination. delta-spark /
+    # Iceberg are not installable here (and local DuckDB 1.0 predates
+    # MERGE INTO), so the executable-parity check is deferred to a real
+    # cluster; these goldens pin the emitted statement byte-for-byte so
+    # any render drift is caught, and the MergeKey classification they
+    # encode is the same one merge_upsert's driver-green t5/t6/t11
+    # queries execute.
+    keys = [MergeKey("k"), MergeKey("site", kind="value", value="us"),
+            MergeKey("tomb", kind="null")]
+    cols = ["k", "site", "tomb", "v"]
+    assert merge_into_sql("cat.t", "sv", keys, cols) == (
+        "MERGE INTO cat.t AS D\n"
+        "USING sv AS S\n"
+        "ON D.`k` = S.`k` AND D.`site` = 'us' AND D.`tomb` IS NULL\n"
+        "WHEN MATCHED THEN UPDATE SET D.`k` = S.`k`, D.`site` = S.`site`, "
+        "D.`tomb` = S.`tomb`, D.`v` = S.`v`\n"
+        "WHEN NOT MATCHED THEN INSERT (`k`, `site`, `tomb`, `v`) "
+        "VALUES (S.`k`, S.`site`, S.`tomb`, S.`v`)"
+    )
+    assert merge_into_sql("cat.t", "sv", [MergeKey("k")], ["k", "v"],
+                          insert_only=True) == (
+        "MERGE INTO cat.t AS D\n"
+        "USING sv AS S\n"
+        "ON D.`k` = S.`k`\n"
+        "WHEN NOT MATCHED THEN INSERT (`k`, `v`) VALUES (S.`k`, S.`v`)"
+    )
+    assert merge_into_sql("cat.t", "sv", [MergeKey("k")], ["k", "v"],
+                          update_only=True) == (
+        "MERGE INTO cat.t AS D\n"
+        "USING sv AS S\n"
+        "ON D.`k` = S.`k`\n"
+        "WHEN MATCHED THEN UPDATE SET D.`k` = S.`k`, D.`v` = S.`v`"
+    )
+    assert merge_into_sql("cat.t", "sv", [MergeKey("k")], ["k", "v"],
+                          merge_pk=("k",)) == (
+        "MERGE INTO cat.t AS D\n"
+        "USING sv AS S\n"
+        "ON D.`k` = S.`k`\n"
+        "WHEN MATCHED THEN UPDATE SET D.`v` = S.`v`\n"
+        "WHEN NOT MATCHED THEN INSERT (`k`, `v`) VALUES (S.`k`, S.`v`)"
+    )
+    # integer value-key renders unquoted
+    assert "D.`site` = 7" in merge_into_sql(
+        "t", "s", [MergeKey("site", kind="value", value=7)], ["site", "v"]
+    )
