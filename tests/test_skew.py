@@ -61,3 +61,91 @@ def test_two_phase_count_distinct(spark, skewed):
     )
     salted = two_phase_count_distinct(skewed, ["k"], "v", n_salts=16)
     assert _sorted(salted) == _sorted(exact)
+
+
+# ---------------------------------------------------------------------------
+# Planted-whale-key stress (VERDICT r06 #7): a key holding ~30% of the
+# sf0.1 events must not pin ~30% of rows to one reducer under the
+# skew-proof layouts x30 (salted join) and x171 (bucketed as-of) use.
+# Group sizes are the right proxy on a shared box: every row of a key
+# (or key+salt / key+bucket) hashes to ONE reducer, so the largest
+# group is a hard lower bound on the busiest task's row count —
+# task-time itself is noise-dominated at this scale.
+# ---------------------------------------------------------------------------
+
+
+def _planted_whale(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 < 3, F.lit(-1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+
+
+def test_whale_key_group_bounds_sf01(spark):
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    whale = _planted_whale(spark, sf_dir).cache()
+    try:
+        n = whale.count()
+        # plain layouts put the whale's ~30% share on one reducer
+        plain_max = (
+            whale.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert plain_max >= 0.29 * n
+
+        # x30's salted layout: per-row salt spreads the whale n_salts ways
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in whale.columns]), F.lit(8)
+        )
+        salted_max = (
+            whale.withColumn("__s", salt)
+            .groupBy("user_id", "__s")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert salted_max <= plain_max / 8 * 1.5, (salted_max, plain_max)
+
+        # x171's bucketed layout: (key, hour) groups are bounded by the
+        # whale's per-hour traffic (30 days of events -> ~720 buckets)
+        bucketed_max = (
+            whale.groupBy(
+                "user_id", F.date_trunc("hour", F.col("ts").cast("timestamp"))
+            )
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert bucketed_max <= plain_max / 100, (bucketed_max, plain_max)
+    finally:
+        whale.unpersist()
+
+
+def test_whale_key_bucketed_asof_equals_plain(spark):
+    # correctness under skew: the bucketed as-of must agree with the
+    # plain as-of row-for-row on the planted-whale data (sf0.01)
+    from dirty_js_etl_spark.operators.asof import asof_join, asof_join_bucketed
+
+    whale = _planted_whale(spark, "/root/testdata/sf0.01")
+    left = whale.select(
+        "user_id", F.col("ts").cast("timestamp").alias("t"), "event_id"
+    )
+    right = (
+        whale.filter(F.col("event_id") % 20 == 0)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("rt"),
+            F.col("event_id").alias("anchor_id"),
+        )
+    )
+    kw = dict(
+        on="user_id", left_time="t", right_time="rt",
+        payload_cols=["anchor_id"], tiebreak_cols=["anchor_id"],
+    )
+    plain = asof_join(left, right, **kw)
+    bucketed = asof_join_bucketed(left, right, bucket_seconds=3600, **kw)
+    assert _sorted(bucketed.select(*plain.columns)) == _sorted(plain)
