@@ -272,3 +272,78 @@ def bloom_prune(
         .filter(bloom_contains(fact_key, F.col("bloom_words"), m_bits, k))
         .drop("bloom_words")
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable HyperLogLog (md5-derived registers -> exact-oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+def hll_portable(
+    df: DataFrame,
+    key: Column,
+    p: int = 4,
+    out_prefix: str = "",
+) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet et al. 2007) over ``key`` as a
+    DENSE register table ``(register, rho, est_distinct)`` — ``2^p``
+    rows — built entirely from portable primitives so an external SQL
+    engine reproduces it bit-for-bit (the same portability trick as
+    :func:`cms_bucket`; Spark's native ``hll_sketch_agg`` remains the
+    production path, x154).
+
+    Construction: a 32-bit draw from the first 8 md5 hex digits of the
+    key; top ``p`` bits pick the register, ``rho`` = leading-zero count
+    of the remaining ``32-p`` bits + 1 spelled as ``(32-p) + 1 -
+    length(bin(rest))`` (``bin`` drops leading zeros in Spark AND
+    DuckDB — an integer string op, no transcendental ``log2``); the
+    estimate is ``alpha_m * m^2 / Z`` with ``Z`` carried as the INTEGER
+    ``Z * 2^32 = sum(1 << (32 - rho))`` (exact in BIGINT for p >= 2),
+    so the only float op is ONE correctly-rounded division of exactly-
+    representable values — identical doubles on every engine. The raw
+    estimate is reported without the small-range linear-counting branch
+    (a piecewise rule would be just as portable; omitted to keep the
+    demo single-formula — the error-bound test covers accuracy).
+
+    Scale: NO distinct pre-pass — duplicates collapse inside ``max``
+    per register, so the build is one narrow groupBy over ``2^p``
+    registers with map-side partials (≤ m rows per partition shipped),
+    the same single-pass shape as the native sketch; register tables
+    from shards/days merge by register-wise ``max`` (pytest-pinned).
+    """
+    m = 1 << p
+    rest_bits = 32 - p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    hv = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    reg = F.shiftright(hv, rest_bits)
+    rest = F.pmod(hv, F.lit(1 << rest_bits))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(rest))
+    )
+    sparse = (
+        df.select(reg.alias("register"), rho.alias("__rho"))
+        .groupBy("register")
+        .agg(F.max("__rho").alias("rho"))
+    )
+    spark = df.sparkSession
+    dense = (
+        spark.range(m)
+        .select(F.col("id").alias("register"))
+        .join(sparse, "register", "left")
+        .select(
+            F.col("register").cast("int").alias("register"),
+            F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("rho"),
+        )
+    )
+    zint = dense.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - rho AS INT))"))
+        .alias("__zint")
+    )
+    est = (
+        F.lit(float(alpha)) * m * m * F.lit(2.0**32) / F.col("__zint")
+    ).alias(f"{out_prefix}est_distinct")
+    return dense.crossJoin(F.broadcast(zint)).select(
+        "register", "rho", est
+    )

@@ -44,6 +44,7 @@ from dirty_js_etl_spark.queries import (  # noqa: E402
     q09_graph_sketch,
     q10_round4,
     q11_round5,
+    q12_round7,
 )
 
 # Hoist every query callable / helper defined by the domain modules so the
@@ -61,6 +62,7 @@ for _mod in (
     q09_graph_sketch,
     q10_round4,
     q11_round5,
+    q12_round7,
 ):
     for _name, _val in vars(_mod).items():
         if _name.startswith("__"):

@@ -1,0 +1,98 @@
+"""Round-7 additions: environment-gated registrations.
+
+``x191_running_totals`` drives the ``transformWithStateInPandas``
+running-total operator (``streaming/state.py``) as a driver query —
+but ONLY where it can actually execute: the API's Python state server
+speaks protobuf, and a container without ``google.protobuf`` fails at
+stream start with ``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE``.
+The gate probes the import at module load; on boxes without protobuf
+(this sandbox) the query is simply absent from the registry and the
+stateful-streaming surface the driver verifies remains the
+``applyInPandasWithState`` sessionizer (x17). On a normal cluster
+image the query registers and is oracle-checked: a drained finite
+stream's final per-user total must equal the batch aggregate, with
+cents spelled ``floor(value*100 + 0.5)`` — exact on identical doubles
+in every engine (the x127 spelling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.queries._shared import _cat, register
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+HAS_PROTOBUF = _has_protobuf()
+
+if HAS_PROTOBUF:
+
+    @register(
+        "x191_running_totals",
+        """
+SELECT user_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events WHERE event_type = 'purchase' GROUP BY user_id
+""",
+    )
+    def x191_running_totals(spark, sf_dir):
+        # transformWithState running purchase totals: ValueState of one
+        # (cents, seq) pair per user, RocksDB-backed; the drained
+        # stream's last emission per key equals the batch sum exactly
+        # (integer cents, floor(x*100+0.5) portable rounding).
+        from dirty_js_etl_spark.streaming.state import (
+            run_stream_running_totals,
+        )
+
+        return run_stream_running_totals(spark, sf_dir)
+
+
+@register(
+    "x192_hll_portable",
+    """
+WITH h AS (
+  SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS hv
+  FROM events
+), b AS (
+  SELECT hv // 268435456 AS register, hv % 268435456 AS rest FROM h
+), r AS (
+  SELECT register,
+         CASE WHEN rest = 0 THEN 29 ELSE 29 - length(bin(rest)) END AS rho
+  FROM b
+), regs AS (
+  SELECT register, max(rho) AS rho FROM r GROUP BY register
+), dense AS (
+  SELECT g.register, COALESCE(regs.rho, 0) AS rho
+  FROM range(16) g(register) LEFT JOIN regs ON g.register = regs.register
+), z AS (
+  SELECT sum(1::BIGINT << (32 - rho)) AS zint FROM dense
+)
+SELECT CAST(dense.register AS INT) AS register, CAST(dense.rho AS INT) AS rho,
+       CAST(0.673 AS DOUBLE) * 256 * 4294967296.0 / z.zint AS est_distinct
+FROM dense, z
+""",
+)
+def x192_hll_portable(spark, sf_dir):
+    # From-scratch HLL whose DuckDB oracle reproduces the register table
+    # AND the estimate bit-for-bit: registers/rho from md5 hex + bin()
+    # string length (no transcendental log2), Z carried as an exact
+    # BIGINT, one correctly-rounded division at the end.  The sketch
+    # family's second fully-hash-checked member after the CMS grid
+    # (x149) -- native hll_sketch_agg (x154) stays the production path;
+    # this is the engine-portable spelling an external system can audit.
+    # Scale: one narrow groupBy over 16 registers, no distinct pre-pass
+    # (dups collapse in max), shard-mergeable by register-wise max.
+    from dirty_js_etl_spark.operators.sketch import hll_portable
+
+    ev = _cat(spark, sf_dir).read("events")
+    return hll_portable(ev, F.col("user_id"), p=4)

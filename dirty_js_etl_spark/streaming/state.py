@@ -23,9 +23,12 @@ unbounded because the stream is finite.
 ENVIRONMENT BOUNDARY: ``transformWithStateInPandas`` talks to the
 Python state server over protobuf, and this container's
 ``google.protobuf`` is not importable — the operator raises
-``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` here, so it is NOT
-registered as a driver query (the stateful-streaming surface the
-driver verifies is the ``applyInPandasWithState`` sessionizer, x17).
+``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` here. Registration
+as a driver query is therefore GATED at runtime
+(``queries/q12_round7.py``): where ``google.protobuf`` imports, the
+operator registers as ``x191_running_totals`` with a batch-sum SQL
+oracle; here it stays absent and the stateful-streaming surface the
+driver verifies is the ``applyInPandasWithState`` sessionizer (x17).
 The code is complete and the test (``tests/test_streaming_state.py``)
 runs wherever protobuf is available; on this box it skips with the
 exact reason.
@@ -86,7 +89,10 @@ class RunningTotalProcessor(StatefulProcessor):
 def running_totals_stream(events: DataFrame) -> DataFrame:
     """Wire the processor over a (possibly streaming) events frame:
     purchases → integer cents → per-user transformWithState."""
-    cents = F.round(F.col("value") * 100).cast("long")
+    # floor(x*100 + 0.5): portable half-up cents, exact on identical
+    # doubles in every engine (the x127 spelling) — lets the gated
+    # driver query (x191, queries/q12_round7.py) carry a SQL oracle
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", cents.alias("cents")
     )

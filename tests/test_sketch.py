@@ -315,3 +315,51 @@ def test_rolling_hll_wau_error_bound(spark):
     assert set(approx) == set(exact)
     for day, e in exact.items():
         assert abs(approx[day] - e) <= max(0.05 * e, 2), (day, approx[day], e)
+
+
+class TestHllPortable:
+    def test_shard_merge_equals_direct(self, spark, catalog):
+        # register-wise max over shard register tables == whole-corpus
+        # registers (HLL mergeability, exact by max associativity)
+        from pyspark.sql import functions as F
+
+        from dirty_js_etl_spark.operators.sketch import hll_portable
+
+        ev = catalog.read("events")
+        direct = hll_portable(ev, F.col("user_id"), p=4)
+        shards = [
+            hll_portable(
+                ev.filter(F.col("event_id") % 2 == i), F.col("user_id"), p=4
+            ).select("register", "rho")
+            for i in (0, 1)
+        ]
+        merged = (
+            shards[0].unionByName(shards[1])
+            .groupBy("register")
+            .agg(F.max("rho").alias("rho"))
+        )
+        d = {r.register: r.rho for r in direct.collect()}
+        m = {r.register: r.rho for r in merged.collect()}
+        assert d == m
+
+    def test_estimate_error_bound(self, spark, catalog):
+        # raw HLL at m=16 has relative std error ~1.04/sqrt(16) = 26%;
+        # gate at 3 sigma on the fixture
+        from pyspark.sql import functions as F
+
+        from dirty_js_etl_spark.operators.sketch import hll_portable
+
+        ev = catalog.read("events")
+        exact = ev.select("user_id").distinct().count()
+        est = hll_portable(ev, F.col("user_id"), p=4).collect()[0].est_distinct
+        assert abs(est - exact) / exact < 0.78, (est, exact)
+
+    def test_deterministic_across_partitionings(self, spark, catalog):
+        from pyspark.sql import functions as F
+
+        from dirty_js_etl_spark.operators.sketch import hll_portable
+
+        ev = catalog.read("events")
+        a = sorted(map(tuple, hll_portable(ev.repartition(3), F.col("user_id")).collect()))
+        b = sorted(map(tuple, hll_portable(ev.repartition(17), F.col("user_id")).collect()))
+        assert a == b

@@ -62,7 +62,11 @@ def test_drained_stream_equals_batch_sum(spark, catalog):
         for r in catalog.read("events")
         .filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("t"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("t")
+        )
         .collect()
     }
     assert got == exp
