@@ -328,6 +328,10 @@ def hll_portable(
         .agg(F.max("__rho").alias("rho"))
     )
     spark = df.sparkSession
+    # eager GC-scoped localCheckpoint on the m-row register table: both
+    # the Z aggregate and the output derive from it, and without the
+    # pin Spark would re-run the full corpus scan for each (the same
+    # bounded-reduce idiom as dedup.py's signature tables)
     dense = (
         spark.range(m)
         .select(F.col("id").alias("register"))
@@ -336,6 +340,7 @@ def hll_portable(
             F.col("register").cast("int").alias("register"),
             F.coalesce(F.col("rho"), F.lit(0)).cast("int").alias("rho"),
         )
+        .localCheckpoint(eager=True)
     )
     zint = dense.agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - rho AS INT))"))
