@@ -454,21 +454,88 @@ def x9_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.4)
 
 
-@register("x10_similarity_lsh_topk", None)  # approximate -> rows-only
+def _lsh_tb_cte() -> str:
+    """Shared signature CTE for the x10/x29 oracles.
+
+    The hyperplane LSH in ``operators/similarity.py`` is DETERMINISTIC:
+    the planes come from ``numpy.RandomState(7)`` (a frozen legacy
+    stream) and are embedded as plan literals, so a second engine can
+    replay the whole pipeline — signatures, bucket collisions, verify —
+    bit-for-bit. This CTE rebuilds the 16-table × 4-bit signatures in
+    DuckDB with LEFT-ASSOCIATED addition chains (``0.0 + v[1]*p1 + …``),
+    the exact fold order of ``F.aggregate``: sign decisions near zero
+    therefore agree to the last ULP, not merely after rounding. Both
+    x10 and x29 use the same (n_tables=16, bits=4, seed=7) planes.
+    """
+    from dirty_js_etl_spark.operators.similarity import _random_planes
+
+    planes = _random_planes(16 * 4, 64, 7)
+    tables = []
+    for t in range(16):
+        bits = []
+        for i in range(4):
+            chain = "0.0" + "".join(
+                f" + v[{j + 1}]*({c!r})"
+                for j, c in enumerate(planes[t * 4 + i])
+            )
+            bits.append(f"CASE WHEN ({chain}) > 0 THEN {1 << i} ELSE 0 END")
+        tables.append("(" + "\n + ".join(bits) + ")")
+    bks = ",\n".join(tables)
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),\n"
+        f"sig AS (SELECT vec_id, v, [{bks}] AS bks FROM e),\n"
+        "tb AS (SELECT vec_id, v, CAST(g.t AS INT) AS t,"
+        " bks[CAST(g.t AS INT) + 1] AS b\n"
+        "      FROM sig CROSS JOIN range(16) g(t))\n"
+    )
+
+
+def _x10_oracle_sql() -> str:
+    return _lsh_tb_cte() + (
+        ", cand AS (\n"
+        "  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n"
+        "         round(list_cosine_similarity(c.v, q.v), 6) AS score\n"
+        "  FROM tb c JOIN tb q ON c.t = q.t AND c.b = q.b\n"
+        "  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id\n"
+        ")\n"
+        "SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rank\n"
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id\n"
+        "      ORDER BY score DESC, neighbor_id) AS rn FROM cand)\n"
+        "WHERE rn <= 10"
+    )
+
+
+def _x29_oracle_sql() -> str:
+    return _lsh_tb_cte() + (
+        "SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,\n"
+        "       round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim\n"
+        "FROM tb a JOIN tb c\n"
+        "  ON a.t = c.t AND a.b = c.b AND a.vec_id < c.vec_id\n"
+        "WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.4"
+    )
+
+
+@register("x10_similarity_lsh_topk", _x10_oracle_sql())
 def x10_similarity_lsh_topk(spark, sf_dir):
+    # Hash-checked (round 7): the seeded-plane replay oracle
+    # (_lsh_tb_cte) reproduces buckets, candidates, verify, and the
+    # (score desc, neighbor_id) rank tie-break exactly — the
+    # "approximate" result is a deterministic function of the planes.
     from dirty_js_etl_spark.operators.similarity import lsh_topk
 
     emb = _cat(spark, sf_dir).read("embeddings")
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
 
 
-@register("x29_embedding_near_dup_lsh", None)  # approximate -> rows-only
+@register("x29_embedding_near_dup_lsh", _x29_oracle_sql())
 def x29_embedding_near_dup_lsh(spark, sf_dir):
     from dirty_js_etl_spark.operators.similarity import embedding_near_dup_pairs_lsh
 
     emb = _cat(spark, sf_dir).read("embeddings")
     # fixture near-dups are weak (cos 0.4-0.5) -> match the band shape
-    # to the threshold angle: p=0.65/plane, b=4, L=16 -> ~96% recall
+    # to the threshold angle: p=0.65/plane, b=4, L=16 -> ~96% recall.
+    # Hash-checked (round 7) via the seeded-plane replay oracle.
     return embedding_near_dup_pairs_lsh(
         emb, threshold=0.4, n_tables=16, bits_per_table=4
     )
