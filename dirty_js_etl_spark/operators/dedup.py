@@ -798,25 +798,43 @@ def minhash_band_table(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 42,
+    hash_fn: Callable[[Column], Column] | None = None,
+    portable_bands: bool = False,
 ) -> DataFrame:
     """``(id, band, bucket)`` LSH index rows for a corpus — the table a
     production pipeline PERSISTS as its near-dup index (partitioned by
     band/bucket) so daily ingests join against it instead of
     recomputing corpus signatures. Same signature/banding parameters
-    must be used on both sides of any later join (seed included)."""
+    must be used on both sides of any later join (seed included).
+
+    ``hash_fn``/``portable_bands`` mirror :func:`minhash_lsh_pairs`:
+    the defaults are the xxhash64 fast path; passing
+    :func:`portable_token_hash60` + ``portable_bands=True`` makes the
+    whole index recomputable by an external SQL engine."""
     rows = num_perm // bands
     sh_base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    sig_tbl = minhash_signature_table(sh_base, num_perm, seed)
+    exploded = sh_base.select(
+        "id",
+        F.explode(
+            F.transform("sh", hash_fn or (lambda s: F.xxhash64(s)))
+        ).alias("g"),
+    )
+    sig_tbl = _signature_from_hashed(exploded, num_perm, seed)
+
+    def _bucket(cols):
+        joined = F.concat_ws("_", *cols)
+        if portable_bands:
+            return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+        return F.xxhash64(joined)
+
     buckets = F.array(
         *[
-            F.xxhash64(
-                F.concat_ws(
-                    "_", *[F.col(f"m{j * rows + i}") for i in range(rows)]
-                )
-            )
+            _bucket([F.col(f"m{j * rows + i}") for i in range(rows)])
             for j in range(bands)
         ]
     )
@@ -834,6 +852,8 @@ def incremental_minhash_pairs(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    hash_fn: Callable[[Column], Column] | None = None,
+    portable_bands: bool = False,
 ) -> DataFrame:
     """Near-dup screen of a NEW batch against an already-curated corpus
     plus within-batch pairs — the MinHash complement of
@@ -851,10 +871,12 @@ def incremental_minhash_pairs(
     admits a daily delta. Caller guarantees disjoint id spaces.
     """
     nb = minhash_band_table(
-        new_batch, id_col, text_col, shingle_k, num_perm, bands, seed
+        new_batch, id_col, text_col, shingle_k, num_perm, bands, seed,
+        hash_fn=hash_fn, portable_bands=portable_bands,
     )
     cb = minhash_band_table(
-        corpus, id_col, text_col, shingle_k, num_perm, bands, seed
+        corpus, id_col, text_col, shingle_k, num_perm, bands, seed,
+        hash_fn=hash_fn, portable_bands=portable_bands,
     )
     # cap pathological buckets by their CORPUS population (the side
     # that can be huge); the batch side additionally self-caps below
@@ -874,7 +896,9 @@ def incremental_minhash_pairs(
         )
         posts = sh.select(
             "id",
-            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"),
+            F.explode(
+                F.transform("sh", hash_fn or (lambda s: F.xxhash64(s)))
+            ).alias("g"),
         )
         return posts, sh.select("id", F.size("sh").alias("sz"))
 

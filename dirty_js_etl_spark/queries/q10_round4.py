@@ -738,21 +738,127 @@ def x166_mad_outliers(spark, sf_dir):
     )
 
 
-@register("x167_incremental_minhash", None)  # LSH banding -> rows-only;
-# recall-vs-full-LSH and corpus-pair-exclusion pinned in test_dedup.py
+def _x167_oracle_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    cap: int = 1000,
+    seed: int = 42,
+) -> str:
+    """Full DuckDB replay of the INCREMENTAL MinHash screen (the x6b
+    portable pipeline, split batch-vs-corpus): portable md5-60bit
+    shingle hashes, the same seeded (a*h+b) mod P signatures, md5 band
+    buckets, the asymmetric caps (corpus-populated buckets capped for
+    the cross probe, batch buckets capped for the within self-join —
+    exactly incremental_minhash_pairs), and the count-based exact
+    Jaccard verify. Candidate sets and scores agree bit-for-bit."""
+    from dirty_js_etl_spark.operators.dedup import _P, _hash_params
+
+    rows = num_perm // bands
+    params = _hash_params(num_perm, seed)
+    mins = ",\n         ".join(
+        f"min(({a} * hp + {b}) % {_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_sel = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, CAST('0x' || substring(md5("
+        f"concat_ws('_', {', '.join(f'm{j * rows + i}' for i in range(rows))}"
+        f")), 1, 15) AS BIGINT) AS bucket FROM sigs"
+        for j in range(bands)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM documents
+), shingles AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3 + 1, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM words
+), hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h60,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % {_P} AS hp
+  FROM shingles
+), sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+), banded AS (
+  {band_sel}
+), nb AS (
+  SELECT * FROM banded WHERE doc_id % 10 = 0
+), cb AS (
+  SELECT * FROM banded WHERE doc_id % 10 <> 0
+), cok AS (
+  SELECT band, bucket FROM cb GROUP BY 1, 2 HAVING count(*) <= {cap}
+), cbk AS (
+  SELECT cb.* FROM cb JOIN cok USING (band, bucket)
+), nok AS (
+  SELECT band, bucket FROM nb GROUP BY 1, 2 HAVING count(*) <= {cap}
+), nbk AS (
+  SELECT nb.* FROM nb JOIN nok USING (band, bucket)
+), cross_c AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nb a JOIN cbk b ON a.band = b.band AND a.bucket = b.bucket
+), within_c AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nbk a JOIN nbk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM hashed GROUP BY doc_id
+), inter_x AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cross_c c
+  JOIN hashed ha ON ha.doc_id = c.id_a
+  JOIN hashed hb ON hb.doc_id = c.id_b AND hb.h60 = ha.h60
+  GROUP BY 1, 2
+), inter_w AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM within_c c
+  JOIN hashed ha ON ha.doc_id = c.id_a
+  JOIN hashed hb ON hb.doc_id = c.id_b AND hb.h60 = ha.h60
+  GROUP BY 1, 2
+), scored_x AS (
+  SELECT id_a, id_b,
+         round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+  FROM inter_x JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+), scored_w AS (
+  SELECT id_a, id_b,
+         round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+  FROM inter_w JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard, 'corpus' AS against
+FROM scored_x WHERE jaccard >= 0.5
+UNION ALL
+SELECT id_a, id_b, jaccard, 'batch' AS against
+FROM scored_w WHERE jaccard >= 0.5
+"""
+
+
+@register("x167_incremental_minhash", _x167_oracle_sql())
 def x167_incremental_minhash(spark, sf_dir):
     # Daily-ingest NEAR-dup screen: the new batch (doc_id % 10 == 0)
     # probes the corpus's band-bucket index (minhash_band_table — the
     # table a production pipeline persists) plus its own within-batch
     # buckets; the corpus x corpus join never happens, so admission cost
     # scales with the delta, not the 100 TB history. MinHash complement
-    # of x151's exact-fingerprint incremental dedup.
-    from dirty_js_etl_spark.operators.dedup import incremental_minhash_pairs
+    # of x151's exact-fingerprint incremental dedup. Hash-checked
+    # (round 7) on the portable md5 hashes; recall-vs-full-LSH and
+    # corpus-pair-exclusion stay pinned in test_dedup.py.
+    from dirty_js_etl_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        portable_token_hash60,
+    )
 
     docs = _cat(spark, sf_dir).read("documents")
     return incremental_minhash_pairs(
         docs.filter(F.col("doc_id") % 10 == 0),
         docs.filter(F.col("doc_id") % 10 != 0),
+        hash_fn=portable_token_hash60,
+        portable_bands=True,
     )
 
 
