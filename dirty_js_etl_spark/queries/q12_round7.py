@@ -96,3 +96,48 @@ def x192_hll_portable(spark, sf_dir):
 
     ev = _cat(spark, sf_dir).read("events")
     return hll_portable(ev, F.col("user_id"), p=4)
+
+
+@register(
+    "x193_tpch_q4",
+    """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+""",
+)
+def x193_tpch_q4(spark, sf_dir):
+    # Q4 analog (fixtures lack commit/receipt dates, so "late line" =
+    # shipped 30+ days after order): the correlated EXISTS decorrelates
+    # to a LEFT SEMI join whose condition spans both sides. The quarter
+    # filter pushes to the orders scan (partition-prunable at scale);
+    # the semi join dedups order keys inside the join instead of a
+    # post-join DISTINCT, so each order ships through the exchange
+    # once no matter how many late lines it has. Completes the TPC-H
+    # analog set expressible on these fixtures (q2/q9/q11/q20 need
+    # partsupp, which the testdata does not carry).
+    cat = _cat(spark, sf_dir)
+    orders = (
+        cat.read("orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+    )
+    li = cat.read("lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(F.count(F.lit(1)).alias("order_count"))
