@@ -274,6 +274,15 @@ def test_hll_wau_slides_on_sketch_table(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_tpch_q4_semi_join_with_pushed_quarter(spark):
+    # the EXISTS decorrelates to ONE semi join (no post-join distinct),
+    # and the quarter filter reaches the orders scan
+    plan = _plan(spark, "x193_tpch_q4")
+    assert "LeftSemi" in plan
+    assert "HashAggregateExec" in plan or "HashAggregate" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
 def test_registry_wide_no_cartesian_no_rowwise_python(spark):
     """Sweep EVERY registered query's physical plan for the two
     patterns that are always wrong at 100 TB: a CartesianProduct (an
