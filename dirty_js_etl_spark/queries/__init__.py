@@ -45,6 +45,7 @@ from dirty_js_etl_spark.queries import (  # noqa: E402
     q10_round4,
     q11_round5,
     q12_round7,
+    q13_partsupp,
 )
 
 # Hoist every query callable / helper defined by the domain modules so the
@@ -63,6 +64,7 @@ for _mod in (
     q10_round4,
     q11_round5,
     q12_round7,
+    q13_partsupp,
 ):
     for _name, _val in vars(_mod).items():
         if _name.startswith("__"):

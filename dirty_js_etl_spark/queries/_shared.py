@@ -97,15 +97,25 @@ def register(name: str, oracle: str | None):
 _SENTINELS: list[str] = [
     # evergreen §2 canary
     "t5_merge_full",
-    # round 6: the LSH pipeline's materialization point moved from the
-    # exploded posting rows to the signature table — re-verify under
-    # the driver (rows-only, but the row count is the contract)
-    "x6_minhash_lsh_pairs",
-    # round 6: x7 switched to the portable 60-bit token hash and gained
-    # a full signature-recomputing DuckDB oracle — its cumulative green
-    # rows are for the old rows-only check, so it must re-lead the
-    # window to get its first HASH-checked driver row
-    "x7_simhash_pairs",
+    # round 7: these queries' implementations changed (previously-green
+    # driver rows verified the OLD spelling), so they re-lead the window
+    # for a fresh driver row under the new one:
+    # - x10/x29 gained exact seeded-plane replay oracles (first
+    #   HASH-checked driver rows; old greens were rows-only)
+    "x10_similarity_lsh_topk",
+    "x29_embedding_near_dup_lsh",
+    # - x100 swapped the A-Res transcendental rank for the Pareto-race
+    #   w/u rank; x147 swapped xxhash64 Bloom bits for md5-derived bits
+    #   (both now fully hash-checked)
+    "x100_weighted_sample",
+    "x147_bloom_decontaminate",
+    # - x167 now screens on portable md5 hashes with a split-pipeline
+    #   replay oracle
+    "x167_incremental_minhash",
+    # - x16 decodes REAL PPM/BMP bytes (the stub seam became a kernel)
+    "x16_multimodal_decode",
+    # - the batched BPE apply's NULL/whitespace semantics changed
+    "x156_bpe_vocab",
 ]
 
 

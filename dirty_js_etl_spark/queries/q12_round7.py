@@ -119,9 +119,9 @@ def x193_tpch_q4(spark, sf_dir):
     # filter pushes to the orders scan (partition-prunable at scale);
     # the semi join dedups order keys inside the join instead of a
     # post-join DISTINCT, so each order ships through the exchange
-    # once no matter how many late lines it has. Completes the TPC-H
-    # analog set expressible on these fixtures (q2/q9/q11/q20 need
-    # partsupp, which the testdata does not carry).
+    # once no matter how many late lines it has. (Q2/Q9/Q11/Q20 need
+    # partsupp; q13_partsupp.py derives one deterministically, so all
+    # 22 TPC-H shapes now have analogs.)
     cat = _cat(spark, sf_dir)
     orders = (
         cat.read("orders")

@@ -313,3 +313,30 @@ def test_registry_wide_no_cartesian_no_rowwise_python(spark):
         if hits:
             bad[name] = hits
     assert not bad, f"scale-hostile plan operators: {bad}"
+
+
+def test_tpch_q2_filtered_window_and_takeordered(spark):
+    # the part filter reaches the part scan BEFORE the per-part min
+    # window (the filter commutes with the min), suppliers attach by
+    # broadcast, and LIMIT 100 is a TakeOrdered, not a global sort
+    plan = _plan(spark, "x194_tpch_q2")
+    assert "PushedFilters" in plan and "p_size" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q9_broadcast_dims_single_fact_shuffle(spark):
+    # supply cost is computed inline from lineitem's own keys — no
+    # partsupp join; part/supplier/nation broadcast; the name filter
+    # pushes to the part scan as a StartsWith
+    plan = _plan(spark, "x195_tpch_q9")
+    assert "StringStartsWith(p_name,red" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q20_pushed_year_and_semi_join(spark):
+    # the ship-year range reaches the lineitem scan; the supplier
+    # screen is a LeftSemi against the aggregated excess set
+    plan = _plan(spark, "x197_tpch_q20")
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    assert "LeftSemi" in plan
