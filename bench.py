@@ -70,6 +70,13 @@ HEADLINE = [
     "x153_containment_decontaminate",
     "x161_tpch_q8",
     "x162_tpch_q21",
+    # round 7: the final TPC-H shapes (Q4 semi-join; Q2/Q9/Q11/Q20 on
+    # the derived partsupp dimension)
+    "x193_tpch_q4",
+    "x194_tpch_q2",
+    "x195_tpch_q9",
+    "x196_tpch_q11",
+    "x197_tpch_q20",
 ]
 
 
