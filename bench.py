@@ -82,7 +82,9 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # "sf0.1" -> "0.1"; ".sf1_testdata" -> "1" (numeric prefix only)
+    raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = raw[: next((i for i, c in enumerate(raw) if c not in "0123456789."), len(raw))]
     spark = get_spark("bench")
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
