@@ -1,0 +1,86 @@
+"""Privacy-release gates for training-data pipelines: k-anonymity with
+one generalization step, plus l-diversity accounting.
+
+Complements the regex PII layer (``operators/corpus.py::pii_report``,
+query x51): PII redaction scrubs free text; these gates decide whether
+STRUCTURED quasi-identifier combinations are safe to release at all.
+k-anonymity: every released equivalence class (unique combination of
+quasi-identifier values) must contain at least ``k`` records; classes
+below ``k`` are generalized one level up a hierarchy (e.g. nation →
+region, balance band → dropped) and re-checked; classes still below
+``k`` are marked suppressed.
+
+Scale: two groupBys — the coarse one runs on the already-aggregated
+fine CLASSES, never on the raw rows — plus one broadcast join against
+the dim-sized hierarchy mapping. The raw table is scanned once;
+everything downstream is class-cardinality-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    geo_col: str,
+    seg_col: str,
+    band: Column,
+    hierarchy: DataFrame,
+    child_col: str,
+    parent_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-equivalence-class release report.
+
+    Fine-level classes are (``geo_col``, ``seg_col``, ``band``); a
+    class of size >= ``k`` releases at level 'fine'. Smaller classes
+    generalize: the geo key maps child → parent through ``hierarchy``
+    (broadcast) and the band is dropped, then the merged (parent,
+    segment) class releases at 'coarse' if it reaches ``k``, else
+    reports as 'suppressed'.
+
+    Returns one row per class: (level, geo, segment, bal_band, n) with
+    ``bal_band`` NULL at the coarse level and ``geo`` holding the
+    parent key there.
+    """
+    fine = df.groupBy(
+        F.col(geo_col), F.col(seg_col), band.alias("bal_band")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rel_fine = fine.filter(F.col("n") >= k).select(
+        F.lit("fine").alias("level"),
+        F.col(geo_col).alias("geo"),
+        F.col(seg_col).alias("segment"),
+        "bal_band",
+        "n",
+    )
+    coarse = (
+        fine.filter(F.col("n") < k)
+        .join(F.broadcast(hierarchy), F.col(geo_col) == F.col(child_col))
+        .groupBy(F.col(parent_col).alias("geo"), F.col(seg_col))
+        .agg(F.sum("n").alias("n"))
+        .select(
+            F.when(F.col("n") >= k, "coarse")
+            .otherwise("suppressed")
+            .alias("level"),
+            "geo",
+            F.col(seg_col).alias("segment"),
+            F.lit(None).cast("int").alias("bal_band"),
+            "n",
+        )
+    )
+    return rel_fine.unionByName(coarse)
+
+
+def l_diversity(
+    df: DataFrame, keys: list[str], sensitive: str, l_floor: int = 2
+) -> DataFrame:
+    """Distinct-sensitive-value count per equivalence class (the
+    l-diversity check): a k-anonymous class whose sensitive attribute
+    is constant still leaks it. Returns (keys..., n, l_div, diverse)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(sensitive).alias("l_div"),
+        (F.countDistinct(sensitive) >= l_floor).alias("diverse"),
+    )

@@ -46,6 +46,7 @@ from dirty_js_etl_spark.queries import (  # noqa: E402
     q11_round5,
     q12_round7,
     q13_partsupp,
+    q14_privacy,
 )
 
 # Hoist every query callable / helper defined by the domain modules so the
@@ -65,6 +66,7 @@ for _mod in (
     q11_round5,
     q12_round7,
     q13_partsupp,
+    q14_privacy,
 ):
     for _name, _val in vars(_mod).items():
         if _name.startswith("__"):

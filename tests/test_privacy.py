@@ -1,0 +1,53 @@
+"""Semantics of the privacy-release gates (operators/privacy.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.operators.privacy import (
+    k_anonymity_report,
+    l_diversity,
+)
+
+K = 5
+
+
+def _report(catalog):
+    return k_anonymity_report(
+        catalog.read("customer"),
+        geo_col="c_nationkey",
+        seg_col="c_mktsegment",
+        band=F.floor(F.col("c_acctbal") / 1000).cast("int"),
+        hierarchy=catalog.read("nation").select("n_nationkey", "n_regionkey"),
+        child_col="n_nationkey",
+        parent_col="n_regionkey",
+        k=K,
+    ).cache()
+
+
+def test_k_anonymity_every_released_class_reaches_k(catalog):
+    rep = _report(catalog)
+    assert rep.filter((F.col("level") != "suppressed") & (F.col("n") < K)).count() == 0
+    assert rep.filter((F.col("level") == "suppressed") & (F.col("n") >= K)).count() == 0
+    # fine rows keep their band; generalized rows drop it
+    assert rep.filter((F.col("level") == "fine") & F.col("bal_band").isNull()).count() == 0
+    assert rep.filter((F.col("level") != "fine") & F.col("bal_band").isNotNull()).count() == 0
+
+
+def test_k_anonymity_conserves_every_record(catalog):
+    rep = _report(catalog)
+    total = rep.agg(F.sum("n")).collect()[0][0]
+    assert total == catalog.read("customer").count()
+
+
+def test_l_diversity_bounds(catalog):
+    cust = catalog.read("customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("int")
+    )
+    ld = l_diversity(cust, ["c_nationkey", "c_mktsegment"], "bal_band")
+    bad = ld.filter(
+        (F.col("l_div") > F.col("n"))
+        | (F.col("l_div") < 1)
+        | (F.col("diverse") != (F.col("l_div") >= 2))
+    ).count()
+    assert bad == 0
