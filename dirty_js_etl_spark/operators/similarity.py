@@ -603,3 +603,107 @@ def random_projection(
         )
         out = out.withColumn(f"p{j}", dot)
     return out
+
+
+# ---------------------------------------------------------------------------
+# engine-portable quantized k-means (the x192/x149 portable-twin pattern)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_portable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 100,
+) -> DataFrame:
+    """Lloyd's k-means whose EVERY arithmetic step is cross-engine
+    exact, so a static SQL oracle can replay data-derived centroids
+    bit-for-bit — the determinism twin of :func:`kmeans_lloyd` (x132,
+    which keeps float centroids, k-means++-style seeding and an
+    inertia-based stop as the production path).
+
+    The three moves that make it portable:
+
+    - vectors quantize to ints (``floor(x*scale)``), so per-cluster
+      per-dim centroid sums are EXACT integers and each new centroid
+      coordinate is ONE correctly-rounded IEEE division ``sum/count`` —
+      identical bits in any engine;
+    - squared distances fold sequentially over the array
+      (``F.aggregate`` here, ``list_reduce`` in the oracle) — the same
+      left-associated rounding on both sides, never a parallel float
+      sum over group ROWS (whose order differs between engines);
+    - seeding is the ``k`` lowest md5(id) vectors (a TakeOrdered, not a
+      global sort), and argmin tie-breaks through a (dist, cluster)
+      struct min.
+
+    Returns (cluster, dim, centroid, n_members) — k*dim rows (a
+    cluster that loses all members mid-iteration drops out, standard
+    Lloyd behavior — deterministically in both engines). Scale:
+    per iteration, one k×dim-row broadcast joins the corpus map-side
+    (the distance fold is a HOF — interpreted, not codegen'd; fine for
+    a verification twin) and the update is one narrow
+    (cluster, pos, int) shuffle with map-side partial sums.
+    """
+    from pyspark.sql import Window
+
+    q = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col, lambda x: F.floor(x.cast("double") * scale).cast("int")
+        ).alias("qv"),
+    )
+    seed_rows = q.select(
+        "id", "qv", F.md5(F.col("id").cast("string")).alias("hk")
+    ).orderBy("hk", "id").limit(k)
+    cents = seed_rows.select(
+        (F.row_number().over(Window.orderBy("hk", "id")) - 1).alias(
+            "cluster"
+        ),
+        F.transform("qv", lambda x: x.cast("double")).alias("c"),
+    )
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(cents.select("cluster", "c"))).select(
+            "id",
+            "qv",
+            "cluster",
+            F.aggregate(
+                F.zip_with(
+                    "qv", "c", lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("dist"),
+        )
+        assign = (
+            scored.groupBy("id", "qv")
+            .agg(
+                F.min(
+                    F.struct(F.col("dist").alias("d"), F.col("cluster").alias("c"))
+                ).alias("m")
+            )
+            .select("id", "qv", F.col("m.c").alias("cluster"))
+        )
+        sums = (
+            assign.select("cluster", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").cast("long").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents = sums.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda t: t.getField("s") / t.getField("n"),
+            ).alias("c"),
+            F.min("n").alias("n"),
+        )
+    return cents.select(
+        F.col("cluster").cast("int"),
+        F.posexplode("c").alias("pos", "centroid"),
+        F.col("n").cast("long").alias("n_members"),
+    ).select(
+        "cluster",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        "centroid",
+        "n_members",
+    )

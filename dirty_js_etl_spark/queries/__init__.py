@@ -47,6 +47,7 @@ from dirty_js_etl_spark.queries import (  # noqa: E402
     q12_round7,
     q13_partsupp,
     q14_privacy,
+    q15_kmeans,
 )
 
 # Hoist every query callable / helper defined by the domain modules so the
@@ -67,6 +68,7 @@ for _mod in (
     q12_round7,
     q13_partsupp,
     q14_privacy,
+    q15_kmeans,
 ):
     for _name, _val in vars(_mod).items():
         if _name.startswith("__"):

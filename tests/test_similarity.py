@@ -276,3 +276,23 @@ def test_random_projection_deterministic(spark, catalog):
     b = sorted(map(tuple, random_projection(emb.repartition(5), "embedding", 64, 4).select(
         "vec_id", "p0", "p1", "p2", "p3").collect()))
     assert a == b
+
+
+def test_kmeans_portable_partition_and_determinism(spark, catalog):
+    from dirty_js_etl_spark.operators.similarity import kmeans_portable
+
+    emb = catalog.read("embeddings")
+    n = emb.count()
+    out = kmeans_portable(emb, "vec_id", "embedding", k=4, iters=2).cache()
+    rows = out.collect()
+    clusters = {r.cluster for r in rows}
+    dims = {r.dim for r in rows}
+    assert len(rows) == len(clusters) * 64 and dims == set(range(1, 65))
+    # member counts partition the input (clusters may drop, never overlap)
+    sizes = {r.cluster: r.n_members for r in rows}
+    assert sum(sizes.values()) == n
+    # byte-level determinism across two independent builds
+    again = kmeans_portable(emb, "vec_id", "embedding", k=4, iters=2).collect()
+    key = lambda r: (r.cluster, r.dim)
+    assert sorted(((r.cluster, r.dim, r.centroid, r.n_members) for r in rows)) == \
+           sorted(((r.cluster, r.dim, r.centroid, r.n_members) for r in again))
