@@ -86,6 +86,15 @@ FIXTURE_TABLES = [
 HEAVY_TABLES = ("documents", "embeddings", "events")
 
 
+# Memoized _spread decisions, keyed by (sorted input files, parallelism,
+# maxPartitionBytes). catalog.read re-resolves loaders on every call, so
+# without this every read of a heavy table re-stats its files driver-side
+# (VERDICT r07 task 1). Fixture files are immutable within a run; bounded
+# because only under-split (< parallelism files) relations reach the stat
+# loop at all.
+_SPREAD_DECISIONS: dict[tuple, bool] = {}
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Repartition an under-split scan up to the cluster's parallelism.
 
@@ -95,7 +104,12 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     real cluster). The fixtures are single-file single-row-group parquet,
     so file count is the partition count; on a many-file production
     table the guard sees >= parallelism files and this is a no-op.
+
+    Set ``SPARK_GRAFT_NO_SPREAD=1`` to short-circuit entirely (bench A/B
+    hook, VERDICT r07 task 1).
     """
+    if os.environ.get("SPARK_GRAFT_NO_SPREAD"):
+        return df
     par = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
@@ -116,14 +130,19 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
         )
     except ValueError:
         max_bytes = 134217728
-    total = 0
-    for uri in files:
-        path = uri.removeprefix("file:")
-        if not os.path.exists(path):
-            return df  # remote storage: trust Spark's own split planning
-        total += os.path.getsize(path)
-    est_splits = max(nfiles, -(-total // max_bytes))
-    if est_splits < par:
+    key = (tuple(sorted(files)), par, max_bytes)
+    decide = _SPREAD_DECISIONS.get(key)
+    if decide is None:
+        total = 0
+        for uri in files:
+            path = uri.removeprefix("file:")
+            if not os.path.exists(path):
+                return df  # remote storage: trust Spark's own split planning
+            total += os.path.getsize(path)
+        est_splits = max(nfiles, -(-total // max_bytes))
+        decide = est_splits < par
+        _SPREAD_DECISIONS[key] = decide
+    if decide:
         df = df.repartition(par)
     return df
 

@@ -290,10 +290,29 @@ def _count_based_verify(
     count) — shingle arrays never ship. Shared by the self-join LSH
     path (both posting frames identical) and the incremental
     batch-vs-corpus path (distinct frames). No broadcast hints: all
-    relations are data-scaled; AQE broadcasts at runtime when small."""
+    relations are data-scaled; AQE broadcasts at runtime when small.
+
+    The per-doc sizes attach to the CANDIDATE pairs (pair-cardinality —
+    the same two joins the old shape spent on the intersection output)
+    and gate them with the size-ratio prefilter
+    ``min(|A|,|B|) ≥ τ·max(|A|,|B|)`` — necessary for ``J ≥ τ`` — so a
+    size-incompatible candidate never reaches the posting-list join,
+    the expensive stage it would otherwise cost O(|A|) rows in
+    (VERDICT r07 task 5). Sizes then ride the posting join as two ints
+    and come out through the pair groupBy's keys."""
+    sa = sizes_a.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
+    sb = sizes_b.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
+    cands = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.least(F.col("__sza"), F.col("__szb"))
+            >= jaccard_threshold * F.greatest(F.col("__sza"), F.col("__szb"))
+        )
+    )
     ea = posts_a.join(
         cands, F.col("id") == F.col("id_a")
-    ).select("id_a", "id_b", "g")
+    ).select("id_a", "id_b", "__sza", "__szb", "g")
     inter = (
         ea.alias("ea")
         .join(
@@ -301,15 +320,11 @@ def _count_based_verify(
             (F.col("eb.id") == F.col("ea.id_b"))
             & (F.col("eb.g") == F.col("ea.g")),
         )
-        .groupBy("ea.id_a", "ea.id_b")
+        .groupBy("ea.id_a", "ea.id_b", "ea.__sza", "ea.__szb")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    sa = sizes_a.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
-    sb = sizes_b.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("__inter")
@@ -336,48 +351,65 @@ def ngram_jaccard_pairs(
     drop stop-shingles above the document-frequency cap (a shingle in
     >``max_shingle_df`` docs creates O(df²) candidates while signaling
     nothing), self-join on the shingle hash and COUNT matches per pair:
-    ``|A∩B|`` arrives from the same shuffle that found the candidates, so
-    ``jaccard = inter / (|A| + |B| - inter)`` needs only two joins
-    against the per-doc size table — shingle arrays are never shipped,
-    and the size table is joined without a broadcast hint (it is
-    corpus-cardinality; AQE broadcasts it at runtime only when actually
-    small). Intersection counts use capped shingles; sizes are uncapped
-    full shingle counts (the operational near-dup contract: stop-shingles
+    ``|A∩B|`` arrives from the same shuffle that found the candidates.
+    Intersection counts use capped shingles; sizes are uncapped full
+    shingle counts (the operational near-dup contract: stop-shingles
     can't *create* a pair but still count toward its union).
+
+    Two scale moves (VERDICT r07 task 2 — x5 was 25% of the sf1 wall):
+
+    - the set size is computed MAP-SIDE from the shingle array
+      (``F.size`` before the explode) and rides every posting row as
+      one extra int, so the per-doc size table — formerly a groupBy
+      plus two corpus-cardinality joins against the pair output —
+      disappears entirely: sizes arrive at the final projection through
+      the pair join's own groupBy keys;
+    - the join condition carries the size-ratio prefilter
+      ``min(|A|,|B|) >= τ·max(|A|,|B|)`` — a necessary condition for
+      ``J ≥ τ`` (J ≤ min/max since inter ≤ min and union ≥ max) — so
+      size-incompatible pairs are dropped inside the join instead of
+      surviving to the pair aggregation.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    # four consumers (df-counts, self-join sides, sizes) — materialize
-    # the narrow hashed-shingle rows once instead of re-shingling per
+    # three consumers (df-counts, self-join sides) — materialize the
+    # narrow hashed-shingle rows once instead of re-shingling per
     # subtree; GC-scoped localCheckpoint, not session-pinned persist.
     # Eager: lazy checkpoints of multi-consumer frames materialize
     # mid-job and spray cancelled-task accumulator errors (see
     # minhash_lsh_pairs above / VERDICT r04 #8)
     exploded = base.select(
-        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g")
+        "id",
+        F.size("sh").alias("sz"),  # shingles are array_distinct → set size
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"),
     ).localCheckpoint(eager=True)
-    # shingles are array_distinct, so the per-id hash count is the set
-    # size (sizes formerly re-ran the regex shingling of the whole
-    # corpus as a second pass over `base`)
-    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     df_counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
     exploded = (
         exploded.join(df_counts, "g").filter(F.col("__df") <= max_shingle_df).drop("__df")
     )
     l, r = exploded.alias("l"), exploded.alias("r")
     shared = (
-        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        l.join(
+            r,
+            (F.col("l.g") == F.col("r.g"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (
+                F.least(F.col("l.sz"), F.col("r.sz"))
+                >= jaccard_threshold * F.greatest(F.col("l.sz"), F.col("r.sz"))
+            ),
+        )
+        .groupBy(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sz").alias("__sza"),
+            F.col("r.sz").alias("__szb"),
+        )
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("__inter")
