@@ -55,10 +55,17 @@ def k_anonymity_report(
         "bal_band",
         "n",
     )
+    # LEFT join: a geo key missing from the hierarchy must still be
+    # accounted for (record conservation) — it stays under its own key,
+    # cannot merge with siblings, and so reports as 'suppressed' below
+    # rather than silently dropping out of the release report.
     coarse = (
         fine.filter(F.col("n") < k)
-        .join(F.broadcast(hierarchy), F.col(geo_col) == F.col(child_col))
-        .groupBy(F.col(parent_col).alias("geo"), F.col(seg_col))
+        .join(F.broadcast(hierarchy), F.col(geo_col) == F.col(child_col), "left")
+        .groupBy(
+            F.coalesce(F.col(parent_col), F.col(geo_col)).alias("geo"),
+            F.col(seg_col),
+        )
         .agg(F.sum("n").alias("n"))
         .select(
             F.when(F.col("n") >= k, "coarse")

@@ -24,8 +24,9 @@ WITH fine AS (
          count(*) AS n
   FROM customer GROUP BY 1, 2, 3
 ), coarse AS (
-  SELECT n_regionkey AS geo, c_mktsegment, CAST(sum(n) AS BIGINT) AS n
-  FROM fine JOIN nation ON c_nationkey = n_nationkey
+  SELECT COALESCE(n_regionkey, c_nationkey) AS geo, c_mktsegment,
+         CAST(sum(n) AS BIGINT) AS n
+  FROM fine LEFT JOIN nation ON c_nationkey = n_nationkey
   WHERE n < 5
   GROUP BY 1, 2
 )

@@ -40,6 +40,33 @@ def test_k_anonymity_conserves_every_record(catalog):
     assert total == catalog.read("customer").count()
 
 
+def test_k_anonymity_unmapped_geo_key_is_conserved(catalog, spark):
+    # A geo key absent from the hierarchy must not vanish from the
+    # report (ADVICE r07): it cannot merge with siblings, so it stays
+    # under its own key and reports as 'suppressed'.
+    cust = catalog.read("customer").withColumn(
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 31 == 0, F.lit(99)).otherwise(
+            F.col("c_nationkey")
+        ),
+    )
+    rep = k_anonymity_report(
+        cust,
+        geo_col="c_nationkey",
+        seg_col="c_mktsegment",
+        band=F.floor(F.col("c_acctbal") / 1000).cast("int"),
+        hierarchy=catalog.read("nation").select("n_nationkey", "n_regionkey"),
+        child_col="n_nationkey",
+        parent_col="n_regionkey",
+        k=K,
+    ).cache()
+    total = rep.agg(F.sum("n")).collect()[0][0]
+    assert total == cust.count()
+    orphan = rep.filter(F.col("geo") == 99).collect()
+    assert orphan, "unmapped geo key dropped from the report"
+    assert all(r["level"] == "suppressed" for r in orphan if r["n"] < K)
+
+
 def test_l_diversity_bounds(catalog):
     cust = catalog.read("customer").withColumn(
         "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("int")
