@@ -605,6 +605,111 @@ def random_projection(
     return out
 
 
+def ivf_topk_seeded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Engine-portable IVF top-k — the hash-checkable twin of
+    :func:`ivf_topk` (x18, rows-only), closing the last approximate-ANN
+    family without a verified variant (VERDICT r07 task 3).
+
+    Identical pipeline shape to the production path — cell assignment is
+    a map-only argmin over the streamed corpus, each query probes its
+    ``n_probe`` nearest cells, candidates are exact-rescored, one
+    shuffle for the per-query top-k — but every data-derived choice is
+    deterministic on any engine:
+
+    - **centroids** are the ``n_centroids`` corpus vectors with the
+      lowest ``md5(id)`` (the x200 seeding move), collected driver-side
+      (bounded: n_centroids rows) and embedded as plan literals — no
+      trained floats, so both engines hold bit-identical centroids;
+    - **distances** are squared-L2 sequential folds
+      (``F.aggregate`` / ``list_reduce`` — same left-associated
+      rounding), and both argmin and probe order tie-break through
+      (distance, cell) struct ordering;
+    - **scores** reuse the x8/x10-proven ``round(cosine, 6)`` spelling,
+      ranks the (score desc, neighbor_id) total order.
+
+    Recall behavior is the production trade (probes/centroids of the
+    corpus scored); the *candidate set itself* is replayed by the
+    oracle, so a hash mismatch would catch a wrong cell assignment, a
+    wrong probe order, or a wrong rescore — not just a wrong count.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    )
+    seeds = (
+        c.select(
+            "neighbor_id",
+            "cvec",
+            F.md5(F.col("neighbor_id").cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "neighbor_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(cell, list(r["cvec"])) for cell, r in enumerate(seeds)]
+
+    def dstructs(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(float(x)) for x in cv]),
+                            lambda x, cc: (x - cc) * (x - cc),
+                        ),
+                        F.lit(0.0),
+                        lambda a, b: a + b,
+                    ).alias("d"),
+                    F.lit(cell).alias("c"),
+                )
+                for cell, cv in cents
+            ]
+        )
+
+    assigned = c.withColumn(
+        "cell", F.array_min(dstructs(F.col("cvec"))).getField("c")
+    ).withColumn("cnorm", l2_norm(F.col("cvec")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", l2_norm(F.col("qvec")))
+    probes = F.transform(
+        F.slice(F.array_sort(dstructs(F.col("qvec"))), 1, n_probe),
+        lambda s: s.getField("c"),
+    )
+    q = q.withColumn("cell", F.explode(probes))
+
+    scored = (
+        assigned.join(F.broadcast(q), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("cvec"), F.col("qvec"))
+                / (F.col("cnorm") * F.col("qnorm")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------------------
 # engine-portable quantized k-means (the x192/x149 portable-twin pattern)
 # ---------------------------------------------------------------------------

@@ -97,25 +97,27 @@ def register(name: str, oracle: str | None):
 _SENTINELS: list[str] = [
     # evergreen §2 canary
     "t5_merge_full",
-    # round 7: these queries' implementations changed (previously-green
+    # round 8: these queries' implementations changed (previously-green
     # driver rows verified the OLD spelling), so they re-lead the window
     # for a fresh driver row under the new one:
-    # - x10/x29 gained exact seeded-plane replay oracles (first
-    #   HASH-checked driver rows; old greens were rows-only)
-    "x10_similarity_lsh_topk",
-    "x29_embedding_near_dup_lsh",
-    # - x100 swapped the A-Res transcendental rank for the Pareto-race
-    #   w/u rank; x147 swapped xxhash64 Bloom bits for md5-derived bits
-    #   (both now fully hash-checked)
-    "x100_weighted_sample",
-    "x147_bloom_decontaminate",
-    # - x167 now screens on portable md5 hashes with a split-pipeline
-    #   replay oracle
-    "x167_incremental_minhash",
-    # - x16 decodes REAL PPM/BMP bytes (the stub seam became a kernel)
-    "x16_multimodal_decode",
-    # - the batched BPE apply's NULL/whitespace semantics changed
-    "x156_bpe_vocab",
+    # - the exact-Jaccard and MinHash-verify paths dropped their
+    #   per-doc size-table joins (sizes ride the posting rows) and
+    #   gained a size-ratio prefilter inside the pair join
+    "x5_ngram_jaccard_pairs",
+    "x6_minhash_lsh_pairs",
+    "x6b_minhash_lsh_portable",
+    # - the derived-partsupp dimension replaced its unpartitioned
+    #   supplier-rank window with a bounded driver-side rank collect
+    #   and dedupes the si offsets (PK holds at any supplier count)
+    "x194_tpch_q2",
+    "x195_tpch_q9",
+    "x196_tpch_q11",
+    "x197_tpch_q20",
+    # - k-anonymity now LEFT-joins the hierarchy (unmapped geo keys
+    #   conserve as 'suppressed'; oracle mirrors COALESCE)
+    "x198_k_anonymity",
+    # - new: the hash-checked portable IVF twin (x18's family)
+    "x201_ivf_topk_portable",
 ]
 
 

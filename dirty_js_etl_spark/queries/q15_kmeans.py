@@ -85,3 +85,72 @@ def x200_kmeans_portable(spark, sf_dir):
     return kmeans_portable(
         emb, "vec_id", "embedding", k=_K, iters=_ITERS, scale=_SCALE
     )
+
+
+_IVF_CENTS, _IVF_PROBE, _IVF_K = 16, 4, 10
+
+# Shared sub-expressions of the x201 oracle: squared-L2 distance as the
+# same left-associated sequential fold Spark's F.aggregate performs
+# (0.0 + t1 == t1 in IEEE double, so list_reduce's ((t1+t2)+t3)...
+# chain is bit-identical), and (distance, cell) struct-min / struct-sort
+# tie-breaks mirroring array_min / array_sort on struct(d, c).
+_IVF_D = (
+    "list_reduce(list_transform(v, (x, i) -> "
+    "(x - c.cv[i]) * (x - c.cv[i])), (a, b) -> a + b)"
+)
+
+
+@register(
+    "x201_ivf_topk_portable",
+    f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT row_number()
+           OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         v AS cv
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_CENTS}
+),
+assigned AS (
+  SELECT vec_id AS neighbor_id, v,
+         (min(struct_pack(d := d, c := cell))).c AS cell
+  FROM (SELECT e.vec_id, e.v, c.cell, {_IVF_D} AS d
+        FROM e CROSS JOIN cents c)
+  GROUP BY vec_id, v
+),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT query_id, qv, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS pr
+    FROM (SELECT e.vec_id AS query_id, e.v AS qv, c.cell, {_IVF_D} AS d
+          FROM e CROSS JOIN cents c WHERE e.vec_id < 10)
+  ) WHERE pr <= {_IVF_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(a.v, p.qv), 6) AS score
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY score DESC, neighbor_id) AS rn FROM cand)
+WHERE rn <= {_IVF_K}
+""",
+)
+def x201_ivf_topk_portable(spark, sf_dir):
+    # Engine-portable IVF top-k — the hash-checked twin of the
+    # rows-only production path x18 (``similarity.py::ivf_topk``),
+    # closing the last approximate-ANN family without a verified
+    # variant. Centroids are the md5-rank-lowest corpus vectors
+    # (x200's seeding move), so the oracle rebuilds the identical
+    # cells, probe sets, and rescored ranks from SQL alone.
+    from dirty_js_etl_spark.operators.similarity import ivf_topk_seeded
+
+    emb = _cat(spark, sf_dir).read("embeddings")
+    return ivf_topk_seeded(
+        emb,
+        emb.filter("vec_id < 10"),
+        k=_IVF_K,
+        n_centroids=_IVF_CENTS,
+        n_probe=_IVF_PROBE,
+    )

@@ -137,6 +137,20 @@ def test_ivf_recall_clustered_defaults(spark, clustered):
     assert _recall(exact, approx) >= 0.9
 
 
+def test_ivf_seeded_recall_and_exact_rescore(spark, clustered):
+    """The portable twin (x201) keeps the production trade: seeded
+    centroids are real corpus vectors, so on clustered data a query's
+    own cluster is still its nearest cells and 4-of-16 probes recover
+    most of brute-force top-10; every recovered pair carries the
+    identical exact-rescored score (checked inside _recall)."""
+    from dirty_js_etl_spark.operators.similarity import ivf_topk_seeded
+
+    queries = clustered.filter(F.col("vec_id") % 40 == 0)
+    exact = brute_force_topk(clustered, queries, k=10)
+    approx = ivf_topk_seeded(clustered, queries, k=10)
+    assert _recall(exact, approx) >= 0.7
+
+
 def test_near_dup_lsh_recall_vs_exact(spark, catalog):
     """LSH near-dup must recover >=90% of the exact cos>=0.95 pairs on
     the fixture, with identical verified scores on recovered pairs."""
