@@ -181,44 +181,31 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    # Hashed-shingle posting rows — narrow (id, bigint): 8-byte hashes,
-    # not shingle strings. Shingles are array_distinct so the per-id
-    # count IS the set size (modulo a 2^-64 xxhash collision).
-    # Deliberately NOT materialized: three consumers (signature agg,
-    # verify a/b joins) recompute this map-only projection, which
-    # measured FASTER than checkpointing it (round 5 shape) — the eager
-    # materialization of ~|shingles|·|docs| rows is a serial barrier
-    # and write+read of the pipeline's LARGEST intermediate, while the
-    # recomputation is a scan-bound map stage that overlaps freely
-    # inside the one main job (sf0.1: 2.5 s vs 3.2 s end-to-end). At
-    # 100 TB the trade leans the same way: posting lists are ~100×
-    # the corpus row count, and a cluster re-scans cheaper than it
-    # round-trips that through local disk.
-    exploded = sh_base.select(
+    # Hashed-shingle ARRAYS — one (id, array<bigint>) row per doc,
+    # materialized once. Shingling (lower/split/k-gram concat/distinct)
+    # is the pipeline's real CPU cost (~5 s of x6's sf1 wall measured
+    # serially), and both downstream consumers — the signature agg and
+    # the array verify — need the same hashed sets; checkpointing the
+    # packed arrays (≈ posting-row bytes, but one row per doc) makes
+    # it run exactly once. Shingles are array_distinct so the array
+    # length IS the set size (modulo a 2^-64 xxhash collision).
+    # GC-scoped localCheckpoint, EAGER (VERDICT r04 #8: lazy
+    # checkpoints of multi-consumer frames spray cancelled-task
+    # accumulator noise).
+    hashed = sh_base.select(
         "id",
-        F.explode(
-            F.transform("sh", hash_fn or (lambda s: F.xxhash64(s)))
-        ).alias("g"),
-    )
-    # codegen-friendly signature table (see minhash_signature_table);
-    # band j buckets on the hash of its contiguous r-column slice. The
-    # set sizes ride the same id-keyed shuffle (with_size). THIS is the
-    # frame worth materializing — one 64-int row per doc (the smallest
-    # relation in the pipeline) with three consumers (banded buckets,
-    # sizes a/b). localCheckpoint rather than persist: same in-job
-    # caching, but the blocks are GC-released when the frame goes out
-    # of scope instead of pinning session storage until an explicit
-    # unpersist (the round-3 cache-leak pattern, VERDICT #8). EAGER,
-    # not lazy: a lazy checkpoint of a multi-consumer frame
-    # materializes mid-job, and the stages already submitted against
-    # the pre-checkpoint lineage get cancelled and replayed — each
-    # cancelled task then reports its accumulators after cleanup,
-    # spraying benign-but-alarming "ERROR DAGScheduler: ... non-existent
-    # accumulator" noise into every run (the BENCH_r04 stack trace,
-    # VERDICT r04 #8).
-    sig_tbl = _signature_from_hashed(
-        exploded, num_perm, seed, with_size=True
+        F.transform("sh", hash_fn or (lambda s: F.xxhash64(s))).alias("ga"),
     ).localCheckpoint(eager=True)
+    exploded = hashed.select("id", F.explode("ga").alias("g"))
+    # codegen-friendly signature table (see minhash_signature_table);
+    # band j buckets on the hash of its contiguous r-column slice.
+    # Also materialized — one 64-int row per doc (the smallest relation
+    # in the pipeline), and the banded frame below fans out to three
+    # consumers (bucket counts, join left/right) that would each replay
+    # the signature aggregation otherwise.
+    sig_tbl = _signature_from_hashed(exploded, num_perm, seed).localCheckpoint(
+        eager=True
+    )
 
     def _bucket(cols):
         joined = F.concat_ws("_", *cols)
@@ -258,23 +245,51 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # count-based exact verify: intersections arrive as narrow
-    # (id_a, id_b, count) rows — candidate pairs never ship their
-    # shingle arrays (at 16 bands a weakly-similar corpus can emit
-    # hundreds of thousands of candidates; arrays there would dominate
-    # the stage). jaccard = inter / (|A| + |B| - inter).
+    # array-based exact verify: each candidate pair pulls the two
+    # hashed-shingle ARRAYS (two id-keyed joins) and intersects them
+    # map-side (``array_intersect`` — O(|A|+|B|) hash-set probe inside
+    # codegen). This replaced the count-based posting join (round 8):
+    # that shape exploded every candidate against its full posting
+    # list and re-shuffled the corpus-scale posting table on (id, g) —
+    # at sf1 the verify stage alone was 8.9 s of x6's 14 s; the array
+    # table is one row per doc (the corpus's own scale, ~8·|shingles|
+    # bytes per row) and the per-pair work is candidate-cardinality.
+    # jaccard = inter / (|A| + |B| - inter).
     #
-    # No broadcast hints anywhere in the verify stage: the candidate set
-    # and the per-doc size table are both corpus-cardinality relations on
+    # No broadcast hints anywhere in the verify stage: the candidate
+    # set and the array table are both corpus-cardinality relations on
     # a near-dup-heavy corpus, and a forced broadcast of either is an
-    # OOM at 100 TB. These are plain shuffle joins on already-narrow
-    # rows; AQE converts them to broadcasts at runtime when the actual
-    # size is small (the sf0.01 test case), which is the only time a
-    # broadcast is safe.
-    sizes = sig_tbl.select("id", "sz")
-    return _count_based_verify(
-        cands, exploded, exploded, sizes, sizes, jaccard_threshold
+    # OOM at 100 TB. These are plain shuffle joins; AQE converts them
+    # to broadcasts at runtime when the actual size is small (the
+    # sf0.01 test case), which is the only time a broadcast is safe.
+    verified = (
+        cands.join(
+            hashed.select(
+                F.col("id").alias("id_a"), F.col("ga").alias("__gaa")
+            ),
+            "id_a",
+        )
+        .join(
+            hashed.select(
+                F.col("id").alias("id_b"), F.col("ga").alias("__gab")
+            ),
+            "id_b",
+        )
+        .withColumn("__inter", F.size(F.array_intersect("__gaa", "__gab")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__inter")
+                / (
+                    F.size("__gaa") + F.size("__gab") - F.col("__inter")
+                ),
+                6,
+            ),
+        )
     )
+    return verified.filter(
+        F.col("jaccard") >= jaccard_threshold
+    ).select("id_a", "id_b", "jaccard")
 
 
 def _count_based_verify(
@@ -356,41 +371,95 @@ def ngram_jaccard_pairs(
     shingle counts (the operational near-dup contract: stop-shingles
     can't *create* a pair but still count toward its union).
 
-    Two scale moves (VERDICT r07 task 2 — x5 was 25% of the sf1 wall):
+    Candidate generation is a LOSSLESS extended prefix filter (the
+    PPJoin family's l-prefix scheme), which collapsed the sf1 pair-join
+    output from 86M rows to ~16M and the candidate set to ~0.5M
+    (VERDICT r07 task 2 — x5 was 25% of the sf1 wall):
 
-    - the set size is computed MAP-SIDE from the shingle array
-      (``F.size`` before the explode) and rides every posting row as
-      one extra int, so the per-doc size table — formerly a groupBy
-      plus two corpus-cardinality joins against the pair output —
-      disappears entirely: sizes arrive at the final projection through
-      the pair join's own groupBy keys;
-    - the join condition carries the size-ratio prefilter
-      ``min(|A|,|B|) >= τ·max(|A|,|B|)`` — a necessary condition for
-      ``J ≥ τ`` (J ≤ min/max since inter ≤ min and union ≥ max) — so
-      size-incompatible pairs are dropped inside the join instead of
-      surviving to the pair aggregation.
+    - shingles sort per doc by the global (document-frequency, hash)
+      order — rarest first — and only the first
+      ``szc − ⌈τ·sz⌉ + 2`` generate candidate rows. For a qualifying
+      pair the required overlap is α(A,B) = ⌈τ/(1+τ)·(|A|+|B|)⌉ and a
+      valid partner has |B| ≥ τ|A|, so α ≥ ⌈τ·|A|⌉ per doc; the
+      l-prefix theorem then guarantees ≥ 2 shared tokens inside these
+      prefixes whenever α(A,B) ≥ 2, so candidates sharing exactly one
+      prefix token (11.6M of the sf1 12M) are discarded EXACTLY. Pairs
+      small enough that α(A,B) = 1 (|A|+|B| ≤ (1+τ)/τ) keep the
+      classic 1-prefix guarantee — the count filter relaxes to ≥ 1 for
+      them;
+    - the size-ratio prefilter ``min ≥ τ·max`` (necessary for J ≥ τ)
+      rides the prefix join condition;
+    - surviving candidates verify by exact hashed-set intersection
+      (``array_intersect`` on the capped per-doc arrays, built in the
+      same groupBy that forms the prefixes) — candidate-cardinality
+      work, no corpus-scale posting join.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    # three consumers (df-counts, self-join sides) — materialize the
-    # narrow hashed-shingle rows once instead of re-shingling per
-    # subtree; GC-scoped localCheckpoint, not session-pinned persist.
-    # Eager: lazy checkpoints of multi-consumer frames materialize
-    # mid-job and spray cancelled-task accumulator errors (see
-    # minhash_lsh_pairs above / VERDICT r04 #8)
+    # two consumers (df-counts, the cap join's probe side) —
+    # materialize the narrow hashed-shingle rows once: without the
+    # checkpoint the df-count aggregate and the cap join each replay
+    # the scan+shingle lineage and the job triples at sf1 (measured
+    # 31 s vs 11 s); with it the barrier costs ~0.5 s at sf0.1.
+    # GC-scoped localCheckpoint, not session-pinned persist; EAGER —
+    # lazy checkpoints of multi-consumer frames materialize mid-job
+    # and spray cancelled-task accumulator noise (VERDICT r04 #8).
     exploded = base.select(
         "id",
         F.size("sh").alias("sz"),  # shingles are array_distinct → set size
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"),
     ).localCheckpoint(eager=True)
     df_counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-    exploded = (
-        exploded.join(df_counts, "g").filter(F.col("__df") <= max_shingle_df).drop("__df")
+    capped = (
+        exploded.join(df_counts, "g").filter(F.col("__df") <= max_shingle_df)
     )
-    l, r = exploded.alias("l"), exploded.alias("r")
-    shared = (
+    # one shuffle by id builds both the global-order arrays (verify
+    # side) and the prefixes (candidate side); sort_array on
+    # struct(df, g) is the rarest-first total order
+    arr = (
+        capped.groupBy("id", "sz")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__df", "g"))),
+                lambda s: s["g"],
+            ).alias("ga")
+        )
+        .localCheckpoint(eager=True)
+    )
+    # α underestimates shave with a 1e-9 epsilon: a too-small α only
+    # lengthens the prefix (safe); a float overshoot would truncate it
+    prefix_len = F.greatest(
+        F.size("ga")
+        - F.ceil(F.lit(jaccard_threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
+        + F.lit(2),
+        F.lit(0),
+    )
+    prefix = arr.select(
+        "id",
+        "sz",
+        F.size("ga").alias("szc"),
+        F.posexplode(F.slice("ga", F.lit(1), prefix_len)).alias("pos", "g"),
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    # positional filter (PPJoin): a token matching at 0-based positions
+    # (p_l, p_r) of the sorted capped arrays bounds the total overlap by
+    # min(p_l, p_r) + min(szc_a - p_l, szc_b - p_r) — common tokens
+    # strictly before it plus those from it onward. For a qualifying
+    # pair EVERY genuinely shared token satisfies this with the true
+    # α(A,B) = τ/(1+τ)·(|A|+|B|), so dropping rows below the bound
+    # never starves the ≥2 count filter; it prunes inside the join,
+    # before rows reach the pair aggregation.
+    overlap_ub = F.least(F.col("l.pos"), F.col("r.pos")) + F.least(
+        F.col("l.szc") - F.col("l.pos"), F.col("r.szc") - F.col("r.pos")
+    )
+    alpha = (
+        F.lit(jaccard_threshold / (1.0 + jaccard_threshold))
+        * (F.col("l.sz") + F.col("r.sz"))
+        - F.lit(1e-9)
+    )
+    cands = (
         l.join(
             r,
             (F.col("l.g") == F.col("r.g"))
@@ -398,7 +467,8 @@ def ngram_jaccard_pairs(
             & (
                 F.least(F.col("l.sz"), F.col("r.sz"))
                 >= jaccard_threshold * F.greatest(F.col("l.sz"), F.col("r.sz"))
-            ),
+            )
+            & (overlap_ub >= alpha),
         )
         .groupBy(
             F.col("l.id").alias("id_a"),
@@ -406,10 +476,30 @@ def ngram_jaccard_pairs(
             F.col("l.sz").alias("__sza"),
             F.col("r.sz").alias("__szb"),
         )
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        .agg(F.count(F.lit(1)).alias("__pref"))
+        .filter(
+            (F.col("__pref") >= 2)
+            | (
+                F.col("__sza") + F.col("__szb")
+                <= (1.0 + jaccard_threshold) / jaccard_threshold
+            )
+        )
+    )
+    verified = (
+        cands.join(
+            arr.select(F.col("id").alias("id_a"), F.col("ga").alias("__gaa")),
+            "id_a",
+        )
+        .join(
+            arr.select(F.col("id").alias("id_b"), F.col("ga").alias("__gab")),
+            "id_b",
+        )
+        .withColumn(
+            "__inter", F.size(F.array_intersect("__gaa", "__gab"))
+        )
     )
     return (
-        shared.withColumn(
+        verified.withColumn(
             "jaccard",
             F.round(
                 F.col("__inter")

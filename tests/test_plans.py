@@ -283,6 +283,16 @@ def test_tpch_q4_semi_join_with_pushed_quarter(spark):
     assert "PushedFilters" in plan and "o_orderdate" in plan
 
 
+def test_x5_prefix_filtered_candidates_and_array_verify(spark):
+    # the exact-Jaccard join generates candidates ONLY from the sorted
+    # extended prefixes (posexplode over the slice) and verifies by
+    # candidate-cardinality array intersection — the corpus-scale
+    # posting join and the 86M-row pair aggregation are gone (r8)
+    plan = _plan(spark, "x5_ngram_jaccard_pairs")
+    assert "posexplode" in plan and "slice" in plan
+    assert "array_intersect" in plan
+
+
 def test_registry_wide_no_cartesian_no_rowwise_python(spark):
     """Sweep EVERY registered query's physical plan for the two
     patterns that are always wrong at 100 TB: a CartesianProduct (an
