@@ -57,6 +57,46 @@ FROM events WHERE event_type = 'purchase' GROUP BY user_id
 
 
 @register(
+    "x202_running_totals_batch",
+    """
+SELECT user_id, event_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def x202_running_totals_batch(spark, sf_dir):
+    # The transformWithState-free portable twin of x191 (VERDICT r07
+    # task 7): the stateful operator emits, per purchase event, the
+    # user's running total so far; the batch spelling is a cumulative
+    # window over the same (ts, event_id) total order with the same
+    # integer-cents rounding, so EVERY intermediate emission — not just
+    # the drained final state — is hash-checked here even on boxes
+    # where the protobuf-gated streaming API cannot start (this
+    # sandbox: no google.protobuf, no package index to install one —
+    # probed 2026-08-15). Scale: one user-keyed shuffle + sort, the
+    # same partitioning the state store itself would use.
+    from pyspark.sql import Window
+
+    ev = _cat(spark, sf_dir).read("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(cents).over(w).cast("bigint").alias("running_cents"),
+        )
+    )
+
+
+@register(
     "x192_hll_portable",
     """
 WITH h AS (
