@@ -751,22 +751,29 @@ def kmeans_portable(
     a verification twin) and the update is one narrow
     (cluster, pos, int) shuffle with map-side partial sums.
     """
-    from pyspark.sql import Window
-
     q = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             vec_col, lambda x: F.floor(x.cast("double") * scale).cast("int")
         ).alias("qv"),
     )
-    seed_rows = q.select(
-        "id", "qv", F.md5(F.col("id").cast("string")).alias("hk")
-    ).orderBy("hk", "id").limit(k)
-    cents = seed_rows.select(
-        (F.row_number().over(Window.orderBy("hk", "id")) - 1).alias(
-            "cluster"
-        ),
-        F.transform("qv", lambda x: x.cast("double")).alias("c"),
+    # TakeOrdered pulls the k seed rows to the driver (bounded: k
+    # rows), and the cluster index is assigned in that collected order
+    # — no global row_number window, which would be the one
+    # single-partition WindowExec in the pipeline (int → double is
+    # exact, so the literal centroids are bit-identical to the rows)
+    seed_rows = (
+        q.select("id", "qv", F.md5(F.col("id").cast("string")).alias("hk"))
+        .orderBy("hk", "id")
+        .limit(k)
+        .collect()
+    )
+    cents = df.sparkSession.createDataFrame(
+        [
+            (cluster, [float(x) for x in r["qv"]])
+            for cluster, r in enumerate(seed_rows)
+        ],
+        "cluster int, c array<double>",
     )
     for _ in range(iters):
         scored = q.crossJoin(F.broadcast(cents.select("cluster", "c"))).select(
