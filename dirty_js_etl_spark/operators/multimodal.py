@@ -322,6 +322,210 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     )
 
 
+def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthetic REAL-audio payload builder: wraps each row's text bytes
+    into a genuine RIFF/WAVE file — canonical 44-byte header, PCM
+    format chunk (mono, 8000 Hz, 8-bit), and the first
+    ``(L-1) % 90 + 1`` text bytes as the sample plane.
+
+    Like :func:`attach_ppm_payload`, the construction is pure JVM
+    string expressions, which is only byte-exact because every
+    multi-byte little-endian field is constrained below 0x80 (so its
+    UTF-8 encoding is the identity): data size ≤ 90 keeps the RIFF
+    size ≤ 126, the sample rate 8000 = 0x1F40 encodes as two
+    sub-0x80 bytes, and 8-bit samples are the ASCII text bytes
+    themselves. An external SQL engine can therefore predict every
+    byte, letting x203's oracle hash-check a REAL RIFF walker's output
+    end-to-end. On a real cluster, binary ingestion reads actual audio
+    files into the same ``payload`` column instead.
+    """
+    t = F.col(text_col)
+    length = F.octet_length(t)
+    n = F.when(length == 0, F.lit(0)).otherwise((length - 1) % 90 + 1)
+    nul = F.lit("\x00")
+
+    def le(v, width: int):
+        # little-endian field whose value fits one byte (< 0x80)
+        return F.concat(F.char(v), *([nul] * (width - 1)))
+
+    header = F.concat(
+        F.lit("RIFF"), le(n + 36, 4), F.lit("WAVE"),
+        F.lit("fmt "), le(F.lit(16), 4),
+        le(F.lit(1), 2),            # audio format: PCM
+        le(F.lit(1), 2),            # channels: mono
+        F.lit("\x40\x1f\x00\x00"),  # sample rate 8000
+        F.lit("\x40\x1f\x00\x00"),  # byte rate = rate·channels·bytes
+        le(F.lit(1), 2),            # block align
+        le(F.lit(8), 2),            # bits per sample
+        F.lit("data"), le(n, 4),
+        F.substring(t, 1, n),
+    )
+    return df.withColumn("payload", F.encode(header, "UTF-8"))
+
+
+def _parse_wav(data: bytes):
+    """Parse a RIFF/WAVE file per the spec: RIFF/WAVE magics, then a
+    chunk walk (word-aligned per RIFF) collecting ``fmt `` and
+    ``data``. PCM only; 8-bit samples sum unsigned, 16-bit as signed
+    little-endian. Returns (rate, channels, bits, n_samples,
+    duration_ms, sample_sum)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (csz,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate, _brate, balign, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            fmt = (audio_fmt, n_ch, rate, balign, bits)
+        elif cid == b"data":
+            samples = body
+        pos += 8 + csz + (csz & 1)  # odd chunks pad to word boundary
+    if fmt is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, balign, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"only PCM supported, got format {audio_fmt}")
+    n_samples = len(samples) // balign if balign else 0
+    if bits == 8:
+        sample_sum = sum(samples)
+    elif bits == 16:
+        sample_sum = sum(
+            struct.unpack(f"<{len(samples) // 2}h", samples[: len(samples) & ~1])
+        )
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    return rate, n_ch, bits, n_samples, n_samples * 1000 // rate, sample_sum
+
+
+DECODED_AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, bits int, "
+    "n_samples bigint, duration_ms bigint, sample_sum bigint"
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """REAL audio decode through ``mapInPandas``: the Arrow-batched
+    kernel walks the actual RIFF bytes of each payload — rate/channels/
+    bit depth out of the parsed format chunk, duration and sample sum
+    out of the data plane. Malformed payloads degrade to a -1×0 row
+    rather than poisoning the batch. librosa/torchaudio swap in here
+    for compressed codecs on a real cluster. Map-only; bytes never
+    shuffle."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        import struct
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "bits",
+                "n_samples", "duration_ms", "sample_sum",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, ch, bits, ns, ms, ssum = _parse_wav(bytes(payload))
+                except (ValueError, IndexError, struct.error):
+                    rate, ch, bits, ns, ms, ssum = -1, 0, 0, 0, 0, 0
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["bits"].append(bits)
+                out["n_samples"].append(ns)
+                out["duration_ms"].append(ms)
+                out["sample_sum"].append(ssum)
+            yield pd.DataFrame(out).astype(
+                {"sample_rate": "int32", "n_channels": "int32", "bits": "int32"}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, schema=DECODED_AUDIO_SCHEMA
+    )
+
+
+def attach_ppm_stream_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthetic REAL-video payload builder: a container of
+    ``L % 4 + 2`` concatenated binary P6 PPM frames (the raw-frame
+    stream layout of Netpbm video / y4m-style pipes), frame ``f``
+    sized ``((L+f) % 8 + 1) × ((L+f) % 6 + 1)`` with the text bytes
+    tiled as pixels. Same ASCII-exact construction rule as
+    :func:`attach_ppm_payload`, so x204's oracle predicts every
+    sampled frame arithmetically."""
+    t = F.col(text_col)
+    length = F.octet_length(t)
+    k = length % 4 + 2
+
+    def frame(f):
+        w = (length + f) % 8 + 1
+        h = (length + f) % 6 + 1
+        npix = w * h * 3
+        reps = F.ceil(npix / length).cast("int")
+        tiled = F.substring(F.repeat(t, reps), 1, npix)
+        return F.concat(
+            F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"), tiled,
+        )
+
+    frames = F.array_join(F.transform(F.sequence(F.lit(0), k - 1), frame), "")
+    return df.withColumn("payload", F.encode(frames, "UTF-8"))
+
+
+SAMPLED_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, pixel_sum bigint"
+)
+
+
+def sample_frames_real(df: DataFrame, every: int = 2) -> DataFrame:
+    """REAL frame sampling: the kernel walks the payload parsing
+    consecutive P6 frames (header scan + pixel-plane stride — the same
+    spec-compliant ``_parse_ppm``) and emits every ``every``-th frame
+    with its parsed dims and pixel sum — the 1→N expansion an ffmpeg
+    ``select='not(mod(n,k))'`` sampler produces. Map-only with
+    batch-local expansion; no shuffle."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, ws, hs, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data, pos, f = bytes(payload), 0, 0
+                while pos < len(data):
+                    try:
+                        w, h, off = _parse_ppm(data[pos:])
+                    except (ValueError, IndexError):
+                        break
+                    if f % every == 0:
+                        ids.append(doc_id)
+                        idxs.append(f)
+                        ws.append(w)
+                        hs.append(h)
+                        sums.append(
+                            sum(data[pos + off : pos + off + w * h * 3])
+                        )
+                    pos += off + w * h * 3
+                    f += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "pixel_sum": sums,
+                }
+            ).astype({"frame_idx": "int32", "width": "int32", "height": "int32"})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        kernel, schema=SAMPLED_FRAME_SCHEMA
+    )
+
+
 def media_metadata_only(df: DataFrame) -> DataFrame:
     """Metadata projection — never touches the payload bytes (column
     pruning drops the blob at the parquet scan)."""

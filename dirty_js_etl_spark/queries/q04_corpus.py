@@ -919,6 +919,88 @@ def x20_audio_features(spark, sf_dir):
 
 
 @register(
+    "x203_audio_decode",
+    """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS l FROM documents
+), d AS (
+  SELECT doc_id, text,
+         CASE WHEN l = 0 THEN 0 ELSE (l - 1) % 90 + 1 END AS n
+  FROM b
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS n_channels,
+       CAST(8 AS INT) AS bits, CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN n = 0 THEN 0 ELSE
+         list_sum(list_transform(range(1, n + 1),
+                  i -> ascii(substring(text, CAST(i AS INT), 1)))) END
+         AS BIGINT) AS sample_sum
+FROM d
+""",
+)
+def x203_audio_decode(spark, sf_dir):
+    # REAL audio decode (the x16 move for the audio seam): each
+    # document wraps into a genuine RIFF/WAVE file (PCM mono 8 kHz
+    # 8-bit, text bytes as samples) and the Arrow-batched kernel WALKS
+    # those bytes — rate/channels/bits out of the parsed fmt chunk,
+    # duration and sample sum out of the data plane. The oracle
+    # predicts everything from the generation rule, so the RIFF chunk
+    # walker is hash-checked, not shape-checked. Generation and decode
+    # are both map-only; payload bytes never shuffle.
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_audio,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return decode_audio(attach_wav_payload(docs))
+
+
+@register(
+    "x204_frame_sample_real",
+    """
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS l FROM documents
+  WHERE octet_length(encode(text)) > 0
+), f AS (
+  SELECT doc_id, text, l,
+         CAST(UNNEST(range(0, l % 4 + 2)) AS INT) AS frame_idx
+  FROM b
+), d AS (
+  SELECT doc_id, text, l, frame_idx,
+         (l + frame_idx) % 8 + 1 AS w, (l + frame_idx) % 6 + 1 AS h
+  FROM f WHERE frame_idx % 2 = 0
+), s AS (
+  SELECT doc_id, frame_idx, w, h, l, w * h * 3 AS npix,
+         list_sum(list_transform(range(1, l + 1),
+                  i -> ascii(substring(text, CAST(i AS INT), 1)))) AS tot,
+         CASE WHEN (w * h * 3) % l = 0 THEN 0 ELSE
+           list_sum(list_transform(range(1, (w * h * 3) % l + 1),
+                    i -> ascii(substring(text, CAST(i AS INT), 1)))) END AS pre
+  FROM d
+)
+SELECT doc_id, frame_idx, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST((npix // l) * tot + pre AS BIGINT) AS pixel_sum
+FROM s
+""",
+)
+def x204_frame_sample_real(spark, sf_dir):
+    # REAL frame sampling: each document becomes a container of
+    # L%4+2 concatenated binary P6 frames and the kernel walks the
+    # byte stream — parsing every header, striding every pixel plane —
+    # emitting each 2nd frame's parsed dims + pixel sum (x19 keeps the
+    # fake-kernel plumbing shape; this one decodes). The oracle replays
+    # the per-frame dims and tiled byte sums arithmetically.
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_ppm_stream_payload,
+        sample_frames_real,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return sample_frames_real(attach_ppm_stream_payload(docs))
+
+
+@register(
     "x16_multimodal_decode",
     """
 WITH b AS (
