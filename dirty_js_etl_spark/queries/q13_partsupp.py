@@ -119,11 +119,10 @@ def _derived_partsupp(cat, part=None):
     the supplier count divides 7, 14, or 21 (ADVICE r07) — at fixture
     scales the offsets are already distinct and results are unchanged.
     """
-    skeys = sorted(
-        r[0] for r in cat.read("supplier").select("s_suppkey").collect()
-    )
+    supplier = cat.read("supplier")
+    skeys = sorted(r[0] for r in supplier.select("s_suppkey").collect())
     s_cnt = len(skeys)
-    sup_i = cat.spark.createDataFrame(
+    sup_i = supplier.sparkSession.createDataFrame(
         [(i, k) for i, k in enumerate(skeys)], "si long, s_suppkey long"
     )
     if part is None:
