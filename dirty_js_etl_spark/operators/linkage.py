@@ -1,0 +1,98 @@
+"""Entity resolution / record linkage: blocked candidate generation,
+edit-distance scoring, and transitive entity assembly.
+
+The classic large-scale pipeline for "which records describe the same
+real-world thing": never all-pairs — a BLOCKING key (a cheap, high-
+recall hash of the record: phonetic code, sorted-token prefix, a
+category column) bounds candidate generation to within-block pairs,
+an edit-distance (or any pair scorer) prunes them, and connected
+components over the surviving matches assign one entity id per group
+(``operators/dedup.py::dup_clusters`` — the same min-label pointer-
+jumping components used for document near-dup clusters; record
+linkage IS near-dup dedup over structured records).
+
+Reference scope note: the reference engine has no linkage operator
+(its closest concept is the FK memo join, ``mappr.js:290-294``);
+this module is SURVEY.md §2.3 extension surface — a first-class
+training-data-pipeline capability (catalog dedup before corpus
+construction).
+
+Scale notes:
+
+- the block join is ONE shuffle on the block key; candidate work is
+  Σ_b |b|² — the operator's contract is that the caller's blocking
+  key keeps blocks small, and ``max_block_size`` enforces it (an
+  over-hot block — every record blocking to the same value — would
+  quietly reintroduce the quadratic; dropping it mirrors the
+  stop-shingle cap in the Jaccard pipelines);
+- ``levenshtein`` is a JVM built-in (codegen'd, no UDF) evaluated
+  INSIDE the join condition, so non-matches die in the join operator
+  instead of surviving to a post-filter;
+- entity assembly runs on the MATCH graph (pairs), never the full
+  record set; unmatched records never enter a shuffle after the
+  block join — they re-attach as singletons via one left join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_link_pairs(
+    df: DataFrame,
+    id_col: str,
+    record_col: str | Column,
+    block_col: str | Column,
+    max_distance: int = 2,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Within-block record pairs with Levenshtein distance ≤
+    ``max_distance``. Returns (id_a, id_b, distance), id_a < id_b."""
+    rec = F.col(record_col) if isinstance(record_col, str) else record_col
+    blk = F.col(block_col) if isinstance(block_col, str) else block_col
+    recs = df.select(
+        F.col(id_col).alias("id"), rec.alias("rec"), blk.alias("blk")
+    )
+    sizes = recs.groupBy("blk").agg(F.count(F.lit(1)).alias("__n"))
+    recs = (
+        recs.join(sizes, "blk").filter(F.col("__n") <= max_block_size).drop("__n")
+    )
+    l, r = recs.alias("l"), recs.alias("r")
+    dist = F.levenshtein(F.col("l.rec"), F.col("r.rec"))
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (dist <= max_distance),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            dist.cast("int").alias("distance"),
+        )
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    record_col: str | Column,
+    block_col: str | Column,
+    max_distance: int = 2,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """One entity id per record: connected components over the blocked
+    match pairs (entity_id = min member id), singletons keep their own
+    id. Returns (id, entity_id)."""
+    from dirty_js_etl_spark.operators.dedup import dup_clusters
+
+    pairs = blocked_link_pairs(
+        df, id_col, record_col, block_col, max_distance, max_block_size
+    )
+    clusters = dup_clusters(pairs)
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(clusters, "id", "left").select(
+        "id", F.coalesce("cluster_id", "id").alias("entity_id")
+    )

@@ -48,6 +48,7 @@ from dirty_js_etl_spark.queries import (  # noqa: E402
     q13_partsupp,
     q14_privacy,
     q15_kmeans,
+    q16_linkage,
 )
 
 # Hoist every query callable / helper defined by the domain modules so the
@@ -69,6 +70,7 @@ for _mod in (
     q13_partsupp,
     q14_privacy,
     q15_kmeans,
+    q16_linkage,
 ):
     for _name, _val in vars(_mod).items():
         if _name.startswith("__"):

@@ -1,0 +1,98 @@
+"""Entity-resolution queries (``operators/linkage.py``).
+
+Record linkage over the part catalog: records are the composite
+``p_name|p_type`` listing strings, the blocking key is the product
+noun + brand (cheap, high-recall — two listings of the same product
+share both), matches are within-block pairs at Levenshtein ≤ 2, and
+entities are connected components over the match graph. Both stages
+are exactly SQL-replayable (DuckDB ships ``levenshtein`` and walks
+the components with the x36 recursive-CTE pattern), so blocked
+candidate generation, the in-join distance pruning, AND the
+transitive entity assignment are all hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.queries._shared import _cat, register
+
+_LINK_CTE = """
+WITH RECURSIVE c AS (
+  SELECT p_partkey, p_name || '|' || p_type AS rec,
+         split_part(p_name, ' ', 2) || '|' || p_brand AS blk
+  FROM part
+), sized AS (
+  SELECT c.* FROM c JOIN (
+    SELECT blk, count(*) AS n FROM c GROUP BY blk HAVING count(*) <= 10000
+  ) s USING (blk)
+), pairs AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         CAST(levenshtein(a.rec, b.rec) AS INT) AS distance
+  FROM sized a JOIN sized b
+    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+   AND levenshtein(a.rec, b.rec) <= 2
+)"""
+
+
+@register(
+    "x205_link_pairs",
+    _LINK_CTE + "\nSELECT id_a, id_b, distance FROM pairs",
+)
+def x205_link_pairs(spark, sf_dir):
+    # blocked candidate generation + in-join Levenshtein pruning: one
+    # block-keyed shuffle, candidate work bounded by block sizes (the
+    # hot-block cap guards the quadratic), distance evaluated inside
+    # the join condition by the codegen'd JVM levenshtein.
+    from dirty_js_etl_spark.operators.linkage import blocked_link_pairs
+
+    part = _cat(spark, sf_dir).read("part")
+    return blocked_link_pairs(
+        part,
+        "p_partkey",
+        F.concat_ws("|", "p_name", "p_type"),
+        F.concat_ws(
+            "|", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), F.col("p_brand")
+        ),
+        max_distance=2,
+    )
+
+
+@register(
+    "x206_entity_resolution",
+    _LINK_CTE
+    + """,
+nodes AS (
+  SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+  WHERE w.label < e.src
+), clusters AS (
+  SELECT id, min(label) AS entity_id FROM walk GROUP BY id
+)
+SELECT p.p_partkey AS id, COALESCE(cl.entity_id, p.p_partkey) AS entity_id
+FROM part p LEFT JOIN clusters cl ON cl.id = p.p_partkey
+""",
+)
+def x206_entity_resolution(spark, sf_dir):
+    # full resolution: components over the match graph (min-label
+    # pointer jumping — dup_clusters), singletons keep their own id.
+    # The components run on the PAIR graph only; the full catalog
+    # re-attaches through one left join.
+    from dirty_js_etl_spark.operators.linkage import resolve_entities
+
+    part = _cat(spark, sf_dir).read("part")
+    return resolve_entities(
+        part,
+        "p_partkey",
+        F.concat_ws("|", "p_name", "p_type"),
+        F.concat_ws(
+            "|", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), F.col("p_brand")
+        ),
+        max_distance=2,
+    )

@@ -1,0 +1,77 @@
+"""Semantics of the record-linkage operators (operators/linkage.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dirty_js_etl_spark.operators.linkage import (
+    blocked_link_pairs,
+    resolve_entities,
+)
+
+
+def _records(spark):
+    return spark.createDataFrame(
+        [
+            (1, "acme corp", "a"),
+            (2, "acme c0rp", "a"),   # distance 1 from #1
+            (3, "acme corps", "a"),  # distance 1 from #1, 2 from #2
+            (4, "acme corp", "b"),   # identical to #1 but other block
+            (5, "zenith ltd", "a"),  # unmatched
+        ],
+        "id bigint, rec string, blk string",
+    )
+
+
+def test_blocked_pairs_respect_blocks_and_distance(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in blocked_link_pairs(
+            _records(spark), "id", "rec", "blk", max_distance=2
+        ).collect()
+    }
+    # within-block close pairs match with their true distance...
+    assert pairs[(1, 2)] == 1 and pairs[(1, 3)] == 1 and pairs[(2, 3)] == 2
+    # ...but an identical record in ANOTHER block never pairs
+    assert not any(4 in p for p in pairs)
+    assert not any(5 in p for p in pairs)
+
+
+def test_hot_block_cap_drops_the_block(spark):
+    out = blocked_link_pairs(
+        _records(spark), "id", "rec", "blk", max_distance=2, max_block_size=3
+    )
+    # block 'a' holds 4 records > cap 3 -> no candidates survive
+    assert out.count() == 0
+
+
+def test_resolution_is_transitive_and_keeps_singletons(spark):
+    ents = {
+        r.id: r.entity_id
+        for r in resolve_entities(
+            _records(spark), "id", "rec", "blk", max_distance=2
+        ).collect()
+    }
+    # 1~2, 1~3 chain into one entity labeled by the min id
+    assert ents[1] == ents[2] == ents[3] == 1
+    # cross-block twin and the unmatched record resolve to themselves
+    assert ents[4] == 4 and ents[5] == 5
+    assert len(ents) == 5
+
+
+def test_resolution_matches_pairwise_query_on_fixture(catalog):
+    # x205/x206 shape on the real fixture: every matched pair's two
+    # sides carry the same entity id
+    part = catalog.read("part")
+    rec = F.concat_ws("|", "p_name", "p_type")
+    blk = F.concat_ws(
+        "|", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), F.col("p_brand")
+    )
+    pairs = blocked_link_pairs(part, "p_partkey", rec, blk).collect()
+    ents = {
+        r.id: r.entity_id
+        for r in resolve_entities(part, "p_partkey", rec, blk).collect()
+    }
+    assert pairs, "fixture should produce matches"
+    for p in pairs:
+        assert ents[p.id_a] == ents[p.id_b]
