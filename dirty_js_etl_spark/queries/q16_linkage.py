@@ -59,6 +59,47 @@ def x205_link_pairs(spark, sf_dir):
 
 
 @register(
+    "x207_sorted_neighborhood",
+    """
+WITH c AS (
+  SELECT p_partkey, p_name || '|' || p_type AS rec, p_brand AS blk
+  FROM part
+), ranked AS (
+  SELECT p_partkey, rec, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY rec, p_partkey) AS rn
+  FROM c
+)
+SELECT least(a.p_partkey, b.p_partkey) AS id_a,
+       greatest(a.p_partkey, b.p_partkey) AS id_b,
+       CAST(levenshtein(a.rec, b.rec) AS INT) AS distance
+FROM ranked a JOIN ranked b
+  ON a.blk = b.blk AND b.rn - a.rn > 0 AND b.rn - a.rn < 4
+ AND levenshtein(a.rec, b.rec) <= 2
+""",
+)
+def x207_sorted_neighborhood(spark, sf_dir):
+    # the OTHER classic candidate generator: within each (coarser)
+    # brand block, records sort by their own value and pair with the
+    # next 3 in sort order — linear in the corpus (<= w-1 rows per
+    # record), so it works even on blocks too hot to pair
+    # exhaustively. The rank window partitions by block, never
+    # globally.
+    from dirty_js_etl_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = _cat(spark, sf_dir).read("part")
+    return sorted_neighborhood_pairs(
+        part,
+        "p_partkey",
+        F.concat_ws("|", "p_name", "p_type"),
+        F.col("p_brand"),
+        window=4,
+        max_distance=2,
+    )
+
+
+@register(
     "x206_entity_resolution",
     _LINK_CTE
     + """,

@@ -59,6 +59,30 @@ def test_resolution_is_transitive_and_keeps_singletons(spark):
     assert len(ents) == 5
 
 
+def test_sorted_neighborhood_is_window_bounded(spark):
+    from dirty_js_etl_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    # sort order in block 'a': acme c0rp(2), acme corp(1), acme
+    # corps(3), zenith ltd(5) — window=2 pairs only sort-ADJACENT rows
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in sorted_neighborhood_pairs(
+            _records(spark), "id", "rec", "blk", window=2, max_distance=3
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 1}
+    # window=3 reaches two positions: (2,3) at distance 2 joins
+    pairs3 = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            _records(spark), "id", "rec", "blk", window=3, max_distance=3
+        ).collect()
+    }
+    assert pairs3 == {(1, 2), (1, 3), (2, 3)}
+
+
 def test_resolution_matches_pairwise_query_on_fixture(catalog):
     # x205/x206 shape on the real fixture: every matched pair's two
     # sides carry the same entity id
