@@ -4,6 +4,9 @@ docs, and connected-components clustering."""
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -295,3 +298,72 @@ def test_incremental_minhash_planted_cross_dup(spark):
            for r in incremental_minhash_pairs(batch, corpus).collect()}
     assert (10, 1, "corpus", 1.0) in got
     assert all(a != 20 for a, _, _, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# property test: the round-8 extended-prefix candidate filter is LOSSLESS
+# ---------------------------------------------------------------------------
+
+
+def _ref_pairs(word_lists, threshold=0.5, cap=1000):
+    """Brute-force O(n²) reference replicating ngram_jaccard_pairs
+    semantics on plain Python sets: distinct word 3-grams (short docs
+    collapse to one whole-doc shingle), df-capped intersections,
+    uncapped sizes, round-6 jaccard."""
+    def shingles(ws):
+        if len(ws) < 3:
+            return {" ".join(ws)}  # split('') -> [''] gives {''} for empty
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sh = [shingles(ws) for ws in word_lists]
+    df_count = {}
+    for s in sh:
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    capped = [{g for g in s if df_count[g] <= cap} for s in sh]
+    exp = {}
+    for a in range(len(sh)):
+        for b in range(a + 1, len(sh)):
+            inter = len(capped[a] & capped[b])
+            if not inter:
+                continue
+            j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            if j >= threshold:
+                exp[(a, b)] = j
+    return exp
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=7
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_filter_is_lossless_vs_brute_force(spark, corpus, threshold):
+    """Random tiny-vocab corpora maximize shingle collisions, ties in
+    the (df, hash) prefix order, duplicate docs, and the small-pair
+    α=1 edge where the ≥2 prefix-count filter must relax — the exact
+    regimes where a buggy prefix scheme silently drops pairs."""
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_k=3, jaccard_threshold=threshold
+        ).collect()
+    }
+    exp = _ref_pairs(corpus, threshold)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9
