@@ -186,6 +186,29 @@ def test_wav_payload_is_spec_compliant_per_stdlib(spark, catalog):
             assert w.readframes(n) == row.text.encode()[:n]
 
 
+def test_wav_parser_reads_stdlib_written_16bit_stereo():
+    # reverse direction: stdlib wave WRITES a 16-bit stereo PCM file
+    # and _parse_wav must recover its params and the signed sample sum
+    import io
+    import struct
+    import wave
+
+    from dirty_js_etl_spark.operators.multimodal import _parse_wav
+
+    samples = [0, 1, -1, 32767, -32768, 123, -456, 789]  # 4 frames x 2ch
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    rate, ch, bits, n_frames, ms, ssum = _parse_wav(buf.getvalue())
+    assert (rate, ch, bits) == (44100, 2, 16)
+    assert n_frames == 4  # block align 4 -> frames, not samples
+    assert ms == 4 * 1000 // 44100
+    assert ssum == sum(samples)
+
+
 def test_wav_decode_roundtrip(spark, catalog):
     # builder -> RIFF walker roundtrip: parsed fields equal the
     # generation rule, sample_sum equals the byte sum of the prefix
