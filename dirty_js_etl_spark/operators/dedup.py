@@ -103,19 +103,17 @@ def minhash_signature(
 
 
 def _signature_from_hashed(
-    exploded: DataFrame, num_perm: int, seed: int, with_size: bool = False
+    exploded: DataFrame, num_perm: int, seed: int
 ) -> DataFrame:
     """(id, m0..) signature agg over an already-exploded ``(id, g)``
-    frame of raw xxhash64 shingle hashes. ``with_size`` piggybacks the
-    per-id hash count (= distinct-shingle set size) on the same shuffle
-    as an ``sz`` column — one aggregation serves both consumers."""
+    frame of raw xxhash64 shingle hashes. Set sizes no longer ride this
+    shuffle: verify is array-based (round 8) and reads ``F.size`` off
+    the checkpointed hashed arrays instead."""
     h = F.pmod(F.col("g"), F.lit(_P))
     aggs = [
         F.min(F.pmod(a * h + b, F.lit(_P))).cast("int").alias(f"m{i}")
         for i, (a, b) in enumerate(_hash_params(num_perm, seed))
     ]
-    if with_size:
-        aggs.append(F.count(F.lit(1)).alias("sz"))
     return exploded.groupBy("id").agg(*aggs)
 
 

@@ -391,6 +391,8 @@ def _parse_wav(data: bytes):
     audio_fmt, n_ch, rate, balign, bits = fmt
     if audio_fmt != 1:
         raise ValueError(f"only PCM supported, got format {audio_fmt}")
+    if rate <= 0:
+        raise ValueError(f"invalid sample rate {rate}")
     n_samples = len(samples) // balign if balign else 0
     if bits == 8:
         sample_sum = sum(samples)
@@ -465,7 +467,9 @@ def attach_ppm_stream_payload(df: DataFrame, text_col: str = "text") -> DataFram
         w = (length + f) % 8 + 1
         h = (length + f) % 6 + 1
         npix = w * h * 3
-        reps = F.ceil(npix / length).cast("int")
+        # greatest(length, 1): ANSI mode raises DIVIDE_BY_ZERO even in
+        # expressions only reachable for length >= 1 unless guarded
+        reps = F.ceil(npix / F.greatest(length, F.lit(1))).cast("int")
         tiled = F.substring(F.repeat(t, reps), 1, npix)
         return F.concat(
             F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
@@ -473,7 +477,14 @@ def attach_ppm_stream_payload(df: DataFrame, text_col: str = "text") -> DataFram
         )
 
     frames = F.array_join(F.transform(F.sequence(F.lit(0), k - 1), frame), "")
-    return df.withColumn("payload", F.encode(frames, "UTF-8"))
+    # an empty document has no pixel bytes to tile — its payload is an
+    # empty stream (zero frames), matching the oracle's l > 0 filter
+    return df.withColumn(
+        "payload",
+        F.when(length == 0, F.encode(F.lit(""), "UTF-8")).otherwise(
+            F.encode(frames, "UTF-8")
+        ),
+    )
 
 
 SAMPLED_FRAME_SCHEMA = (
@@ -501,6 +512,8 @@ def sample_frames_real(df: DataFrame, every: int = 2) -> DataFrame:
                         w, h, off = _parse_ppm(data[pos:])
                     except (ValueError, IndexError):
                         break
+                    if pos + off + w * h * 3 > len(data):
+                        break  # truncated pixel plane: reject, don't fabricate
                     if f % every == 0:
                         ids.append(doc_id)
                         idxs.append(f)

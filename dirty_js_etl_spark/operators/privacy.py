@@ -56,19 +56,23 @@ def k_anonymity_report(
         "n",
     )
     # LEFT join: a geo key missing from the hierarchy must still be
-    # accounted for (record conservation) — it stays under its own key,
-    # cannot merge with siblings, and so reports as 'suppressed' below
-    # rather than silently dropping out of the release report.
+    # accounted for (record conservation) — it stays under its own key
+    # and reports as 'suppressed' rather than silently dropping out of
+    # the release report. The grouping carries a mapped flag so an
+    # unmapped child key that happens to EQUAL a parent key still forms
+    # its own group (key spaces may overlap) and can never ride a real
+    # parent class to a 'coarse' release.
     coarse = (
         fine.filter(F.col("n") < k)
         .join(F.broadcast(hierarchy), F.col(geo_col) == F.col(child_col), "left")
         .groupBy(
+            F.col(parent_col).isNotNull().alias("__mapped"),
             F.coalesce(F.col(parent_col), F.col(geo_col)).alias("geo"),
             F.col(seg_col),
         )
         .agg(F.sum("n").alias("n"))
         .select(
-            F.when(F.col("n") >= k, "coarse")
+            F.when(F.col("__mapped") & (F.col("n") >= k), "coarse")
             .otherwise("suppressed")
             .alias("level"),
             "geo",

@@ -24,17 +24,19 @@ WITH fine AS (
          count(*) AS n
   FROM customer GROUP BY 1, 2, 3
 ), coarse AS (
-  SELECT COALESCE(n_regionkey, c_nationkey) AS geo, c_mktsegment,
+  SELECT (n_regionkey IS NOT NULL) AS mapped,
+         COALESCE(n_regionkey, c_nationkey) AS geo, c_mktsegment,
          CAST(sum(n) AS BIGINT) AS n
   FROM fine LEFT JOIN nation ON c_nationkey = n_nationkey
   WHERE n < 5
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
 )
 SELECT 'fine' AS level, c_nationkey AS geo, c_mktsegment AS segment,
        bal_band, CAST(n AS BIGINT) AS n
 FROM fine WHERE n >= 5
 UNION ALL
-SELECT CASE WHEN n >= 5 THEN 'coarse' ELSE 'suppressed' END AS level,
+SELECT CASE WHEN mapped AND n >= 5 THEN 'coarse' ELSE 'suppressed' END
+         AS level,
        geo, c_mktsegment AS segment, CAST(NULL AS INT) AS bal_band, n
 FROM coarse
 """,

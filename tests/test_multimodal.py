@@ -178,7 +178,8 @@ def test_wav_payload_is_spec_compliant_per_stdlib(spark, catalog):
     docs = catalog.read("documents").limit(20)
     for row in attach_wav_payload(docs).select("text", "payload").collect():
         with wave.open(io.BytesIO(bytes(row.payload))) as w:
-            n = (len(row.text.encode()) - 1) % 90 + 1
+            length = len(row.text.encode())
+            n = 0 if length == 0 else (length - 1) % 90 + 1
             assert w.getnchannels() == 1
             assert w.getsampwidth() == 1
             assert w.getframerate() == 8000

@@ -67,6 +67,57 @@ def test_k_anonymity_unmapped_geo_key_is_conserved(catalog, spark):
     assert all(r["level"] == "suppressed" for r in orphan if r["n"] < K)
 
 
+def test_k_anonymity_orphan_colliding_with_parent_key_never_rides_coarse(
+    catalog, spark
+):
+    # key spaces may overlap: an unmapped CHILD key numerically equal
+    # to a real PARENT key must form its own suppressed group, not be
+    # summed into that parent's coarse class (code-review r8 finding).
+    # Orphan nation 3 by dropping it from the hierarchy: its fine
+    # classes keep geo=3, which equals region key 3.
+    ORPHAN = 3
+    cust = catalog.read("customer")
+
+    def report(hier):
+        return k_anonymity_report(
+            cust,
+            geo_col="c_nationkey",
+            seg_col="c_mktsegment",
+            band=F.floor(F.col("c_acctbal") / 1000).cast("int"),
+            hierarchy=hier.select("n_nationkey", "n_regionkey"),
+            child_col="n_nationkey",
+            parent_col="n_regionkey",
+            k=K,
+        ).cache()
+
+    nation = catalog.read("nation")
+    full = report(nation)
+    holed = report(nation.filter(F.col("n_nationkey") != ORPHAN))
+    # conservation holds with the hole in the hierarchy
+    assert holed.agg(F.sum("n")).collect()[0][0] == cust.count()
+    # nation 3's sub-k records contributed to region 3's coarse class
+    # in the full report; once orphaned they may only LEAVE it — if
+    # they instead merged into geo=3's coarse group (the bug), its n
+    # would stay equal or grow
+    def coarse_n(rep):
+        return {
+            r["segment"]: r["n"]
+            for r in rep.filter(
+                (F.col("geo") == ORPHAN) & (F.col("level") == "coarse")
+            ).collect()
+        }
+
+    before, after = coarse_n(full), coarse_n(holed)
+    assert before, "fixture should have sub-k classes in region 3"
+    for seg, n in after.items():
+        assert n <= before.get(seg, 0)
+    # and the orphan's records surface as suppressed rows under geo=3
+    sup = holed.filter(
+        (F.col("geo") == ORPHAN) & (F.col("level") == "suppressed")
+    ).count()
+    assert sup > 0
+
+
 def test_l_diversity_bounds(catalog):
     cust = catalog.read("customer").withColumn(
         "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("int")
