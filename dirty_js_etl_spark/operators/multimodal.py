@@ -2,21 +2,28 @@
 decode/feature-extract as Arrow-batched Pandas operations over
 ``mapInPandas`` (north-star M4).
 
-The container has no image libraries, so the decode path has two
-kernels (both clearly marked):
+The container has no media libraries, so each modality ships a REAL,
+dependency-free parser for the formats pure Python can fully handle,
+plus clearly-marked fake-kernel plumbing seams:
 
-- :func:`decode_image_kernel` — a REAL, dependency-free decoder for the
-  two uncompressed formats a pure-Python parser can fully handle:
-  binary PPM (Netpbm ``P6``, comment-aware header scan) and 24-bit BMP
+- :func:`decode_image_kernel` — REAL image decode: binary PPM (Netpbm
+  ``P6``, comment-aware header scan) and 24-bit BMP
   (``BITMAPINFOHEADER``, bottom-up rows, 4-byte row padding). It walks
   the actual bytes: dims come from the parsed header, ``pixel_sum``
   from summing every pixel byte (padding excluded). This is the seam
   where Pillow/libvips plugs in for JPEG/PNG on a real cluster — the
   compressed-codec kernel swaps in behind the same ``mapInPandas``
   signature and schema.
-- :func:`fake_decode_image` is a deterministic fake (derives "width" /
-  "height" / "format" from the byte length alone) kept for plumbing
-  tests that predate the real decoder.
+- :func:`decode_audio` — REAL audio decode: a RIFF/WAVE chunk walker
+  (word-aligned chunk stride, PCM fmt parse, 8-bit unsigned / 16-bit
+  signed sample sums). librosa/torchaudio swap in here.
+- :func:`sample_frames_real` — REAL video-analog frame sampling: a
+  byte-stream walk over concatenated P6 frames, striding each parsed
+  pixel plane and rejecting truncated frames. ffmpeg swaps in here.
+- :func:`fake_decode_image` / :func:`resize_images` /
+  :func:`sample_frames` / :func:`extract_audio_features` are
+  deterministic fakes (fields derive from the byte length alone) kept
+  for plumbing-shape tests and as the documented library seams.
 
 Scale notes: payloads stay opaque ``binary`` columns end-to-end (never
 stringified); ``mapInPandas`` streams Arrow record batches so peak memory
