@@ -154,14 +154,16 @@ GROUP BY 1
 )
 def x193_tpch_q4(spark, sf_dir):
     # Q4 analog (fixtures lack commit/receipt dates, so "late line" =
-    # shipped 30+ days after order): the correlated EXISTS decorrelates
-    # to a LEFT SEMI join whose condition spans both sides. The quarter
-    # filter pushes to the orders scan (partition-prunable at scale);
-    # the semi join dedups order keys inside the join instead of a
-    # post-join DISTINCT, so each order ships through the exchange
-    # once no matter how many late lines it has. (Q2/Q9/Q11/Q20 need
-    # partsupp; q13_partsupp.py derives one deterministically, so all
-    # 22 TPC-H shapes now have analogs.)
+    # shipped 30+ days after order). The EXISTS comparison depends only
+    # on the outer row (o_orderdate + 30d), so it rewrites losslessly to
+    # a per-orderkey max(l_shipdate) PRE-AGGREGATION + inner 1:1 join:
+    # map-side combine collapses each order's lines before the shuffle
+    # (~4x fewer exchanged rows), and the date screen runs post-join on
+    # one row per orderkey. The quarter filter still pushes to the
+    # orders scan (partition-prunable at scale). (r9 rewrite of the
+    # left-semi shape after the sf1 audit flagged 4.8x; Q2/Q9/Q11/Q20
+    # need partsupp; q13_partsupp.py derives one deterministically, so
+    # all 22 TPC-H shapes have analogs.)
     cat = _cat(spark, sf_dir)
     orders = (
         cat.read("orders")
@@ -171,12 +173,17 @@ def x193_tpch_q4(spark, sf_dir):
             & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
         )
     )
-    li = cat.read("lineitem").select("l_orderkey", "l_shipdate")
-    late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate >= orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
-        "left_semi",
+    last_ship = (
+        cat.read("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_shipdate"))
+    )
+    late = (
+        orders.join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.col("last_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
     )
     return late.groupBy(
         F.col("o_orderpriority").alias("priority")

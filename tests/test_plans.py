@@ -274,13 +274,23 @@ def test_hll_wau_slides_on_sketch_table(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_tpch_q4_semi_join_with_pushed_quarter(spark):
-    # the EXISTS decorrelates to ONE semi join (no post-join distinct),
-    # and the quarter filter reaches the orders scan
+def test_tpch_q4_preagg_join_with_pushed_quarter(spark):
+    # the EXISTS rewrites to a per-orderkey max(l_shipdate) pre-agg
+    # (partial+final HashAggregate pair -> map-side combine before the
+    # shuffle) + inner 1:1 join — no semi join of the full lineitem
+    # projection — and the quarter filter reaches the orders scan
     plan = _plan(spark, "x193_tpch_q4")
-    assert "LeftSemi" in plan
-    assert "HashAggregateExec" in plan or "HashAggregate" in plan
+    assert "LeftSemi" not in plan
+    assert "partial_max(l_shipdate" in plan  # map-side combine present
     assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_x37_exists_rewritten_to_preagg(spark):
+    # same lossless EXISTS->max rewrite for the 60-day variant: the
+    # lineitem side collapses to one row per orderkey before the join
+    plan = _plan(spark, "x37_semi_join")
+    assert "LeftSemi" not in plan
+    assert "partial_max(l_shipdate" in plan
 
 
 def test_x5_prefix_filtered_candidates_and_array_verify(spark):
