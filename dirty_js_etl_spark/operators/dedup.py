@@ -313,6 +313,10 @@ def _count_based_verify(
     the expensive stage it would otherwise cost O(|A|) rows in
     (VERDICT r07 task 5). Sizes then ride the posting join as two ints
     and come out through the pair groupBy's keys."""
+    # prefilters admit against τ - 5e-7, not τ: the emitted contract is
+    # round(jaccard, 6) >= τ, so a pair with true J in [τ-5e-7, τ) that
+    # rounds up must never be pruned before the verify (ADVICE r08)
+    tau_pre = max(jaccard_threshold - 5e-7, 0.0)
     sa = sizes_a.select(F.col("id").alias("id_a"), F.col("sz").alias("__sza"))
     sb = sizes_b.select(F.col("id").alias("id_b"), F.col("sz").alias("__szb"))
     cands = (
@@ -320,7 +324,7 @@ def _count_based_verify(
         .join(sb, "id_b")
         .filter(
             F.least(F.col("__sza"), F.col("__szb"))
-            >= jaccard_threshold * F.greatest(F.col("__sza"), F.col("__szb"))
+            >= tau_pre * F.greatest(F.col("__sza"), F.col("__szb"))
         )
     )
     ea = posts_a.join(
@@ -357,6 +361,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     max_shingle_df: int = 1000,
+    prefix_l: int = 3,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs, count-based (no MinHash).
 
@@ -376,15 +381,20 @@ def ngram_jaccard_pairs(
 
     - shingles sort per doc by the global (document-frequency, hash)
       order — rarest first — and only the first
-      ``szc − ⌈τ·sz⌉ + 2`` generate candidate rows. For a qualifying
-      pair the required overlap is α(A,B) = ⌈τ/(1+τ)·(|A|+|B|)⌉ and a
-      valid partner has |B| ≥ τ|A|, so α ≥ ⌈τ·|A|⌉ per doc; the
-      l-prefix theorem then guarantees ≥ 2 shared tokens inside these
-      prefixes whenever α(A,B) ≥ 2, so candidates sharing exactly one
-      prefix token (11.6M of the sf1 12M) are discarded EXACTLY. Pairs
-      small enough that α(A,B) = 1 (|A|+|B| ≤ (1+τ)/τ) keep the
-      classic 1-prefix guarantee — the count filter relaxes to ≥ 1 for
-      them;
+      ``szc − ⌈τ·sz⌉ + prefix_l`` generate candidate rows. For a
+      qualifying pair the required overlap is
+      α(A,B) = ⌈τ/(1+τ)·(|A|+|B|)⌉ and a valid partner has |B| ≥ τ|A|,
+      so α ≥ ⌈τ·|A|⌉ per doc; the l-prefix theorem then guarantees
+      ≥ min(prefix_l, ⌈α(A,B)⌉) shared tokens inside these prefixes, so
+      the pair filter requires exactly that count — the old ≥2 filter
+      with its small-pair relaxation is the prefix_l=2 special case.
+      Measured at sf1: prefix_l=3 cuts surviving candidates 1.53M→305k
+      (true pairs: 250.6k) for one extra posting row per doc, the best
+      wall time of l∈{2,3,4} (8.5 s vs 9.8/9.3 s);
+    - every prefilter admits against τ_pre = τ − 5e-7 rather than τ:
+      the emitted contract is ``round(jaccard, 6) ≥ τ``, so a pair
+      whose true J lies in [τ−5e-7, τ) and rounds up survives the
+      screens and reaches the verify (ADVICE r08);
     - the size-ratio prefilter ``min ≥ τ·max`` (necessary for J ≥ τ)
       rides the prefix join condition;
     - surviving candidates verify by exact hashed-set intersection
@@ -426,12 +436,19 @@ def ngram_jaccard_pairs(
         )
         .localCheckpoint(eager=True)
     )
+    # prefilters run against τ_pre = τ - 5e-7, not τ: the emitted
+    # contract is round(jaccard, 6) >= τ, so a pair whose true J lies in
+    # [τ-5e-7, τ) and rounds up must survive every prefilter and reach
+    # the verify (ADVICE r08). τ_pre is smaller, so every use below is
+    # monotone-safe: longer prefixes, weaker size/positional/count
+    # screens — never a lost qualifying pair.
+    tau_pre = max(jaccard_threshold - 5e-7, 0.0)
     # α underestimates shave with a 1e-9 epsilon: a too-small α only
     # lengthens the prefix (safe); a float overshoot would truncate it
     prefix_len = F.greatest(
         F.size("ga")
-        - F.ceil(F.lit(jaccard_threshold) * F.col("sz") - F.lit(1e-9)).cast("int")
-        + F.lit(2),
+        - F.ceil(F.lit(tau_pre) * F.col("sz") - F.lit(1e-9)).cast("int")
+        + F.lit(prefix_l),
         F.lit(0),
     )
     prefix = arr.select(
@@ -453,7 +470,7 @@ def ngram_jaccard_pairs(
         F.col("l.szc") - F.col("l.pos"), F.col("r.szc") - F.col("r.pos")
     )
     alpha = (
-        F.lit(jaccard_threshold / (1.0 + jaccard_threshold))
+        F.lit(tau_pre / (1.0 + tau_pre))
         * (F.col("l.sz") + F.col("r.sz"))
         - F.lit(1e-9)
     )
@@ -464,7 +481,7 @@ def ngram_jaccard_pairs(
             & (F.col("l.id") < F.col("r.id"))
             & (
                 F.least(F.col("l.sz"), F.col("r.sz"))
-                >= jaccard_threshold * F.greatest(F.col("l.sz"), F.col("r.sz"))
+                >= tau_pre * F.greatest(F.col("l.sz"), F.col("r.sz"))
             )
             & (overlap_ub >= alpha),
         )
@@ -475,11 +492,24 @@ def ngram_jaccard_pairs(
             F.col("r.sz").alias("__szb"),
         )
         .agg(F.count(F.lit(1)).alias("__pref"))
+        # the l-prefix guarantee, per pair: a qualifying pair shares at
+        # least min(l, ⌈α(A,B)⌉) tokens inside the l-extended prefixes.
+        # Proof shape (sorted-set prefix theorem): with per-doc prefix
+        # |X| − ⌈τ·|X|⌉ + l, shared tokens past the shorter prefix's
+        # last element number ≤ max(⌈τ·max(|A|,|B|)⌉ − l, 0), and
+        # ⌈τ·max⌉ ≤ ⌈α(A,B)⌉ under the size-ratio screen, so the
+        # prefix-shared count is ≥ min(l, ⌈α(A,B)⌉) exactly — the ≥1
+        # small-pair relaxation of the old l=2 shape falls out as the
+        # α(A,B)=1 case rather than a special branch.
         .filter(
-            (F.col("__pref") >= 2)
-            | (
-                F.col("__sza") + F.col("__szb")
-                <= (1.0 + jaccard_threshold) / jaccard_threshold
+            F.col("__pref")
+            >= F.least(
+                F.lit(prefix_l),
+                F.ceil(
+                    F.lit(tau_pre / (1.0 + tau_pre))
+                    * (F.col("__sza") + F.col("__szb"))
+                    - F.lit(1e-9)
+                ),
             )
         )
     )
