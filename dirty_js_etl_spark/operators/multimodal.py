@@ -75,6 +75,25 @@ def attach_binary_payload(
     )
 
 
+def _ascii_only(t):
+    """Byte/char parity guard for the synthetic payload builders: they
+    derive sizes from ``octet_length`` but slice/tile with CHAR-based
+    ``substring``/``repeat``, and the paired oracles sum codepoints —
+    all three agree only while every char is one byte. The fixtures are
+    ASCII; a non-ASCII document would silently diverge the declared
+    chunk sizes from the encoded byte counts, so fail loudly instead
+    (ADVICE r08). Real deployments ingest actual binary files and never
+    hit these builders."""
+    return F.when(F.octet_length(t) == F.length(t), t).otherwise(
+        F.raise_error(
+            F.lit(
+                "synthetic payload builders require single-byte (ASCII) "
+                "text: octet_length != char_length"
+            )
+        )
+    )
+
+
 def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Synthetic REAL-image payload builder: wraps each row's text bytes
     into a genuine binary PPM (Netpbm ``P6``) image whose dimensions
@@ -88,7 +107,7 @@ def attach_ppm_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     payload — which is what lets x16's DuckDB oracle hash-check a REAL
     decoder's output (header-parsed dims + pixel_sum) end-to-end.
     """
-    t = F.col(text_col)
+    t = _ascii_only(F.col(text_col))
     length = F.octet_length(t)
     w = length % 16 + 1
     h = length % 12 + 1
@@ -170,7 +189,9 @@ def decode_image_kernel(
     for pdf in batches:
         ids, lens, ws, hs, fmts, sums = [], [], [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(payload)
+            # NULL payload (real binary ingestion) degrades to the
+            # UNKNOWN sentinel row via the empty-magic path (ADVICE r08)
+            data = bytes(payload) if payload is not None else b""
             ids.append(doc_id)
             lens.append(len(data))
             try:
@@ -346,7 +367,7 @@ def attach_wav_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     end-to-end. On a real cluster, binary ingestion reads actual audio
     files into the same ``payload`` column instead.
     """
-    t = F.col(text_col)
+    t = _ascii_only(F.col(text_col))
     length = F.octet_length(t)
     n = F.when(length == 0, F.lit(0)).otherwise((length - 1) % 90 + 1)
     nul = F.lit("\x00")
@@ -439,8 +460,11 @@ def decode_audio(df: DataFrame) -> DataFrame:
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
+                    # TypeError covers a NULL payload (bytes(None)) from
+                    # real binary ingestion — degrade to the -1 sentinel
+                    # row like any other malformed input (ADVICE r08)
                     rate, ch, bits, ns, ms, ssum = _parse_wav(bytes(payload))
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, TypeError, struct.error):
                     rate, ch, bits, ns, ms, ssum = -1, 0, 0, 0, 0, 0
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(rate)
@@ -466,7 +490,7 @@ def attach_ppm_stream_payload(df: DataFrame, text_col: str = "text") -> DataFram
     tiled as pixels. Same ASCII-exact construction rule as
     :func:`attach_ppm_payload`, so x204's oracle predicts every
     sampled frame arithmetically."""
-    t = F.col(text_col)
+    t = _ascii_only(F.col(text_col))
     length = F.octet_length(t)
     k = length % 4 + 2
 
@@ -513,7 +537,9 @@ def sample_frames_real(df: DataFrame, every: int = 2) -> DataFrame:
         for pdf in batches:
             ids, idxs, ws, hs, sums = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data, pos, f = bytes(payload), 0, 0
+                # NULL payload → empty stream → zero frames emitted
+                data = bytes(payload) if payload is not None else b""
+                pos, f = 0, 0
                 while pos < len(data):
                     try:
                         w, h, off = _parse_ppm(data[pos:])

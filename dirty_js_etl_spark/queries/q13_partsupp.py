@@ -7,10 +7,13 @@ uncovered, this module derives partsupp deterministically from the keys
 the fixtures DO carry — the same move dbgen itself makes (partsupp rows
 are a pure function of p_partkey and the supplier count):
 
-- each part gets 4 suppliers: ``si = (p_partkey*13 + i*7 + 1) mod S`` for
-  ``i`` in 0..3 (distinct mod S whenever S > 21), mapped to real supplier
-  keys through a rank over the supplier dim, so the derivation survives
-  non-contiguous key spaces (the sf1 replica offsets);
+- each part gets up to 4 suppliers: ``si = (p_partkey*13 + i*7 + 1) mod
+  S`` for ``i`` in 0..3, deduped per part (``array_distinct`` on the
+  offsets, so the (partkey, suppkey) PK holds at ANY supplier count,
+  not just S > 21), mapped to real supplier keys through a driver-side
+  sorted collect of the supplier keys (dim-sized by TPC-H definition),
+  so the derivation survives non-contiguous key spaces (the sf1
+  replica offsets);
 - ``ps_availqty`` / ``ps_supplycost`` are md5-derived functions of the
   (partkey, suppkey) PAIR, not of the derived rows — so Q9 can price any
   lineitem's own (l_partkey, l_suppkey) directly, exactly like TPC-H
@@ -24,10 +27,13 @@ rows-only compromise. With these, all 22 TPC-H query shapes have
 analogs on the fixture schema (Q1,Q3..Q8,Q10,Q12..Q22 live in
 q03/q05/q08/q10/q11/q12 modules).
 
-Scale notes (100 TB): the rank window over supplier is a dim-table
-operation (suppliers are dim-sized; the window is one narrow column);
-partsupp itself is 4×|part| rows built map-side from a broadcast of the
-(s_suppkey, si) pairs — no corpus shuffle. Q9's only big-table shuffle
+Scale notes (100 TB): the supplier-key rank is a bounded driver-side
+collect of the sorted supplier keys (dim-sized by TPC-H definition —
+this is fixture-synthesis shimming for a table the driver doesn't ship,
+not a query-path pattern; it replaced an unpartitioned rank window that
+single-threaded the sf1 run); partsupp itself is ≤4×|part| rows built
+map-side from a broadcast of the (s_suppkey, si) pairs — no corpus
+shuffle. Q9's only big-table shuffle
 is lineitem⋈orders (AQE-planned); part/supplier/nation sides are
 broadcast. Q2 pre-filters partsupp to the filtered parts BEFORE the
 per-part min window (legal because the min is per-part and the filter is

@@ -304,3 +304,41 @@ def test_phash_signature_deterministic(spark, catalog):
     a = sorted(map(tuple, phash_signatures(docs).collect()))
     b = sorted(map(tuple, phash_signatures(docs.repartition(5)).collect()))
     assert a == b
+
+
+def test_null_payload_degrades_not_fails(spark):
+    # real binary ingestion can carry NULL payloads; every kernel must
+    # degrade (sentinel row / zero rows), never fail the task (ADVICE r08)
+    from dirty_js_etl_spark.operators.multimodal import (
+        decode_audio,
+        decode_images,
+        sample_frames_real,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    )
+    audio = decode_audio(df).collect()
+    assert len(audio) == 1 and audio[0].sample_rate == -1
+    imgs = decode_images(df, use_real_decoder=True).collect()
+    assert len(imgs) == 1 and imgs[0].format == "UNKNOWN"
+    assert sample_frames_real(df).collect() == []
+
+
+def test_payload_builders_reject_non_ascii_text(spark):
+    # the synthetic builders size by octet_length but slice by chars;
+    # a multi-byte char would silently diverge payload bytes from the
+    # arithmetic oracles, so the builders raise instead (ADVICE r08)
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_ppm_payload,
+        attach_ppm_stream_payload,
+        attach_wav_payload,
+    )
+
+    df = spark.createDataFrame([(1, "café au lait")], "doc_id long, text string")
+    for builder in (attach_ppm_payload, attach_wav_payload,
+                    attach_ppm_stream_payload):
+        with pytest.raises(Exception, match="ASCII|octet_length"):
+            builder(df).select("payload").collect()
