@@ -295,6 +295,16 @@ GROUP BY n_name
 """,
 )
 def x34_tpch_q5(spark, sf_dir):
+    # fact-first join order: lineitem streams as the probe side of
+    # every join, so each build side is the genuinely smaller relation
+    # (filtered orders, then customer, then supplier). The dim-first
+    # spelling ((c⋈o)⋈li) let the static planner build the broadcast
+    # hash over the whole pruned LINEITEM (its scan estimate undercut
+    # the join-output estimate of c⋈o, and AQE cannot re-plan a
+    # compiled broadcast join) — a 6M-entry driver-built hash at sf1
+    # and exactly the wrong side to materialize at any scale. No hints:
+    # when orders/customer outgrow the threshold at 100 TB these
+    # degrade to SMJs on their equi-keys.
     cat = _cat(spark, sf_dir)
     c, o, li = cat.read("customer"), cat.read("orders"), cat.read("lineitem")
     s, n, r = cat.read("supplier"), cat.read("nation"), cat.read("region")
@@ -304,8 +314,8 @@ def x34_tpch_q5(spark, sf_dir):
     )
     r = r.filter(F.col("r_name") == "ASIA")
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             s,
             (F.col("l_suppkey") == F.col("s_suppkey"))

@@ -161,30 +161,26 @@ GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 """,
 )
 def x55_tpch_q18(spark, sf_dir):
-    # large-volume orders: the HAVING pre-agg is semi-joined back into
-    # the fact pipeline with NO forced hint -- its cardinality is
-    # data-dependent (could be billions of qualifying orders at 100 TB);
-    # AQE broadcasts it at runtime when it is actually small
+    # large-volume orders. The HAVING pre-agg already IS the final
+    # measure: the outer query groups by order attributes, so its
+    # sum(l_quantity) per group equals the per-orderkey sum the HAVING
+    # computed — joining raw lineitem back and re-aggregating (the
+    # pre-r9 shape) shipped 6M rows through a second join for a value
+    # already in hand (the sf1 plan built a broadcast hash over the
+    # whole lineitem projection). Now: ONE map-side-combined lineitem
+    # aggregation, a 1:1 inner join to orders on the filtered aggregate
+    # (data-dependent cardinality, no hint — AQE broadcasts it when
+    # small), and a customer attach.
     cat = _cat(spark, sf_dir)
     c, o, li = cat.read("customer"), cat.read("orders"), cat.read("lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .filter(F.col("sq") > 150)
-        .select("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
     )
     return (
-        o.join(
-            big.withColumnRenamed("l_orderkey", "bk"),
-            F.col("o_orderkey") == F.col("bk"),
-            "left_semi",
-        )
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy(
-            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
-        )
-        .agg(F.sum("l_quantity").alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
