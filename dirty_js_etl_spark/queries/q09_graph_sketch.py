@@ -485,7 +485,9 @@ def x135_compression_quality(spark, sf_dir):
     # screen) via an Arrow-batched pandas UDF.  rows-only: the exact
     # ratio depends on the zlib build, which a SQL oracle can't
     # reproduce; property tests pin the semantics (repetitive <<
-    # random, deterministic across partitionings).
+    # random, deterministic across partitionings) and a golden digest
+    # of the full sf0.001 output table pins the values for the
+    # container's zlib build (tests/test_text.py, r9).
     from dirty_js_etl_spark.operators.text import compression_ratio_udf
 
     ratio = compression_ratio_udf()
