@@ -77,6 +77,17 @@ HEADLINE = [
     "x195_tpch_q9",
     "x196_tpch_q11",
     "x197_tpch_q20",
+    # round 9 (VERDICT r08 task 5): the round-8/9 surface — real A/V
+    # byte decoders, the portable IVF twin, the linkage family — so a
+    # perf regression in the newest, heaviest kernels is visible
+    # round-over-round. BASELINE.md notes the set change; totals are
+    # not comparable across differing sets.
+    "x201_ivf_topk_portable",
+    "x203_audio_decode",
+    "x204_frame_sample_real",
+    "x205_link_pairs",
+    "x206_entity_resolution",
+    "x208_lsh_link_pairs",
 ]
 
 

@@ -97,27 +97,31 @@ def register(name: str, oracle: str | None):
 _SENTINELS: list[str] = [
     # evergreen §2 canary
     "t5_merge_full",
-    # round 8: these queries' implementations changed (previously-green
+    # round 9: these queries' implementations changed (previously-green
     # driver rows verified the OLD spelling), so they re-lead the window
     # for a fresh driver row under the new one:
-    # - the exact-Jaccard and MinHash-verify paths dropped their
-    #   per-doc size-table joins (sizes ride the posting rows) and
-    #   gained a size-ratio prefilter inside the pair join
+    # - EXISTS-shape semi joins rewritten as per-orderkey max
+    #   pre-aggregation + inner 1:1 join
+    "x37_semi_join",
+    "x193_tpch_q4",
+    # - the exact-Jaccard pipeline moved to the l=3 extended prefix
+    #   filter and all prefilters admit against tau - 5e-7 (the
+    #   rounded-contract tolerance); x6/x6b share the shingle pipeline
     "x5_ngram_jaccard_pairs",
     "x6_minhash_lsh_pairs",
     "x6b_minhash_lsh_portable",
-    # - the derived-partsupp dimension replaced its unpartitioned
-    #   supplier-rank window with a bounded driver-side rank collect
-    #   and dedupes the si offsets (PK holds at any supplier count)
-    "x194_tpch_q2",
-    "x195_tpch_q9",
-    "x196_tpch_q11",
-    "x197_tpch_q20",
-    # - k-anonymity now LEFT-joins the hierarchy (unmapped geo keys
-    #   conserve as 'suppressed'; oracle mirrors COALESCE)
-    "x198_k_anonymity",
-    # - new: the hash-checked portable IVF twin (x18's family)
-    "x201_ivf_topk_portable",
+    # - Q18 joins orders 1:1 to its HAVING aggregate (no lineitem
+    #   re-join); Q5 reordered fact-first
+    "x55_tpch_q18",
+    "x34_tpch_q5",
+    # - the synthetic payload builders gained the ASCII guard (plan
+    #   change: when/raise_error wraps the text input)
+    "x16_multimodal_decode",
+    "x203_audio_decode",
+    "x204_frame_sample_real",
+    # - new: the LSH-blocked third linkage pass (typo-tolerant blocking,
+    #   fully oracle-replayed)
+    "x208_lsh_link_pairs",
 ]
 
 

@@ -137,3 +137,92 @@ def x206_entity_resolution(spark, sf_dir):
         ),
         max_distance=2,
     )
+
+
+def _x208_oracle_sql(
+    shingle_k: int = 2,
+    num_perm: int = 32,
+    bands: int = 16,
+    cap: int = 1000,
+    seed: int = 42,
+    max_distance: int = 2,
+) -> str:
+    """DuckDB replay of the FULL LSH linkage pass (the x6b idiom over
+    part records): portable 60-bit md5 shingle hashes of the
+    ``p_name|p_type`` record, the seeded (a*h+b) mod P signature
+    family, md5-derived band buckets, the hot-bucket cap, the
+    band-bucket candidate join, and the Levenshtein verify — so the
+    typo-tolerant third linkage pass is hash-checked end to end."""
+    from dirty_js_etl_spark.operators.dedup import _P, _hash_params
+
+    rows = num_perm // bands
+    params = _hash_params(num_perm, seed)
+    mins = ",\n         ".join(
+        f"min(({a} * hp + {b}) % {_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_sel = "\n  UNION ALL ".join(
+        f"SELECT id, {j} AS band, CAST('0x' || substring(md5("
+        f"concat_ws('_', {', '.join(f'm{j * rows + i}' for i in range(rows))}"
+        f")), 1, 15) AS BIGINT) AS bucket FROM sigs"
+        for j in range(bands)
+    )
+    return f"""
+WITH recs AS (
+  SELECT p_partkey AS id, p_name || '|' || p_type AS rec FROM part
+), words AS (
+  SELECT id,
+         string_split(regexp_replace(lower(trim(rec)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM recs
+), shingles AS (
+  SELECT id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(w) - {shingle_k} + 1, 1) + 1),
+           i -> array_to_string(w[i:i+{shingle_k - 1}], ' ')))) AS g
+  FROM words
+), hashed AS (
+  SELECT id, CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % {_P} AS hp
+  FROM shingles
+), sigs AS (
+  SELECT id,
+         {mins}
+  FROM hashed GROUP BY id
+), banded AS (
+  {band_sel}
+), ok AS (
+  SELECT band, bucket FROM banded GROUP BY 1, 2 HAVING count(*) <= {cap}
+), kept AS (
+  SELECT b.* FROM banded b JOIN ok USING (band, bucket)
+), cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       CAST(levenshtein(ra.rec, rb.rec) AS INT) AS distance
+FROM cands c
+JOIN recs ra ON ra.id = c.id_a
+JOIN recs rb ON rb.id = c.id_b
+WHERE levenshtein(ra.rec, rb.rec) <= {max_distance}
+"""
+
+
+@register("x208_lsh_link_pairs", _x208_oracle_sql())
+def x208_lsh_link_pairs(spark, sf_dir):
+    # typo-tolerant third linkage pass: MinHash-LSH blocks over the
+    # WHOLE record string, so a typo in the x205 blocking token itself
+    # (which escapes both the exact-key block and x207's brand-block
+    # sort adjacency when it hits the sort prefix) still lands the pair
+    # in a shared band bucket; Levenshtein verifies. Portable hashes +
+    # md5 band buckets make every stage oracle-recomputable.
+    from dirty_js_etl_spark.operators.dedup import portable_token_hash60
+    from dirty_js_etl_spark.operators.linkage import lsh_link_pairs
+
+    part = _cat(spark, sf_dir).read("part")
+    return lsh_link_pairs(
+        part,
+        "p_partkey",
+        F.concat_ws("|", "p_name", "p_type"),
+        max_distance=2,
+        hash_fn=portable_token_hash60,
+        portable_bands=True,
+    )

@@ -9,7 +9,10 @@ Demonstrates the full linkage surface (``operators/linkage.py``):
 2. PASS 2 — sorted neighborhood: within the coarser brand blocks,
    records sort by their own value and pair with the next 3 — linear
    per record, catching matches pass 1's finer key split;
-3. UNION the passes (multi-pass linkage), resolve entities as
+3. PASS 3 — LSH blocking: MinHash bands over the WHOLE record, so a
+   typo in the pass-1 blocking token itself (invisible to passes 1-2)
+   still buckets the pair together, Levenshtein-verified;
+4. UNION the passes (multi-pass linkage), resolve entities as
    connected components (singletons keep their own id), and report
    the catalog's duplication profile.
 
@@ -30,6 +33,7 @@ from dirty_js_etl_spark.catalog import fixture_catalog  # noqa: E402
 from dirty_js_etl_spark.operators.dedup import dup_clusters  # noqa: E402
 from dirty_js_etl_spark.operators.linkage import (  # noqa: E402
     blocked_link_pairs,
+    lsh_link_pairs,
     sorted_neighborhood_pairs,
 )
 from dirty_js_etl_spark.session import get_spark  # noqa: E402
@@ -48,9 +52,13 @@ def main(sf_dir: str) -> None:
     p2 = sorted_neighborhood_pairs(
         part, "p_partkey", rec, F.col("p_brand"), window=4, max_distance=2
     )
-    matches = p1.select("id_a", "id_b").unionByName(
-        p2.select("id_a", "id_b")
-    ).distinct()
+    p3 = lsh_link_pairs(part, "p_partkey", rec, max_distance=2)
+    matches = (
+        p1.select("id_a", "id_b")
+        .unionByName(p2.select("id_a", "id_b"))
+        .unionByName(p3.select("id_a", "id_b"))
+        .distinct()
+    )
     clusters = dup_clusters(matches)
     ids = part.select(F.col("p_partkey").alias("id"))
     resolved = ids.join(clusters, "id", "left").select(
