@@ -75,6 +75,23 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def char_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct CHARACTER k-grams of the normalized text
+    (array<string>). The right shingle granularity for SHORT records
+    (linkage descriptors, titles, names): a record of w words carries
+    only w-k+1 word shingles — for the 2-3 word records of a product
+    catalog that is ONE shingle, so any two distinct values have
+    Jaccard 0 and LSH can never bucket them. Character grams give
+    length-k+1 shingles; a single-character typo in an n-char record
+    kills ≤ k of them (J ≈ (n-2k)/n). Strings shorter than k yield
+    themselves as one shingle."""
+    t = normalize_text(text)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+    return F.array_distinct(grams)
+
+
 def _hash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal hash family
     h_i(x) = (a_i * x + b_i) mod P — generated driver-side, embedded as
@@ -950,6 +967,7 @@ def minhash_band_table(
     seed: int = 42,
     hash_fn: Callable[[Column], Column] | None = None,
     portable_bands: bool = False,
+    shingler: Callable[[Column, int], Column] = word_shingles,
 ) -> DataFrame:
     """``(id, band, bucket)`` LSH index rows for a corpus — the table a
     production pipeline PERSISTS as its near-dup index (partitioned by
@@ -960,11 +978,14 @@ def minhash_band_table(
     ``hash_fn``/``portable_bands`` mirror :func:`minhash_lsh_pairs`:
     the defaults are the xxhash64 fast path; passing
     :func:`portable_token_hash60` + ``portable_bands=True`` makes the
-    whole index recomputable by an external SQL engine."""
+    whole index recomputable by an external SQL engine. ``shingler``
+    picks the shingle granularity — :func:`word_shingles` (documents)
+    or :func:`char_shingles` (short records, where word grams collapse
+    to one shingle and distinct values can never collide)."""
     rows = num_perm // bands
     sh_base = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        shingler(F.col(text_col), shingle_k).alias("sh"),
     )
     exploded = sh_base.select(
         "id",

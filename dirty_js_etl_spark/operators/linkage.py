@@ -139,26 +139,43 @@ def lsh_link_pairs(
     id_col: str,
     record_col: str | Column,
     max_distance: int = 2,
-    shingle_k: int = 2,
+    shingle_k: int = 3,
     num_perm: int = 32,
     bands: int = 16,
     seed: int = 42,
     max_bucket_size: int = 1000,
     hash_fn: Callable[[Column], Column] | None = None,
     portable_bands: bool = False,
+    dedup_values: bool = True,
 ) -> DataFrame:
     """Third-pass candidate generator: MinHash-LSH blocks over the WHOLE
     record string, verified by Levenshtein ≤ ``max_distance``. Returns
     (id_a, id_b, distance), id_a < id_b.
 
+    ``dedup_values`` (default True) collapses identical record VALUES to
+    their min-id representative before banding, so the output pairs
+    DISTINCT values only. This is the dedup-then-link discipline every
+    production linkage pipeline applies before a pair enumerator:
+    duplicate-heavy catalogs carry value cliques (c identical records),
+    and enumerating record-level pairs inside them is O(c²) — on the
+    10×-replica sf1 fixture the record-level spelling emits 52.9M pairs
+    (~100× the value-level 0.5M) with zero information the value pairs
+    don't carry. Identity linking (same value ⇒ same entity) belongs to
+    the exact-dedup pass; union it with these value pairs (expanded
+    through the value→id map) before :func:`resolve_entities`. Pass
+    ``dedup_values=False`` to enumerate raw record pairs.
+
     Why it exists: :func:`blocked_link_pairs` blocks on an exact key
     (a typo in the blocking token itself escapes the block) and
     :func:`sorted_neighborhood_pairs` needs the typo to leave the
     record sort-adjacent (a typo in the sort prefix breaks that). LSH
-    bands of the record's word shingles have neither failure mode —
-    any single-token typo in an n-word record preserves shingle
-    Jaccard ≈ (n-k)/(n+k), caught with probability
-    1-(1-J^rows)^bands (k=2, 16 bands × 2 rows: ≥ 0.94 at J = 0.4).
+    bands of the record's CHARACTER shingles have neither failure
+    mode — and char grams, not word grams, are the right granularity
+    for short linkage records: a 2-3 word descriptor carries ONE word
+    shingle, so distinct values would never collide, while a
+    single-character typo in an n-char record kills ≤ k of its
+    ~n char-grams (J ≈ (n-2k)/n, caught with probability
+    1-(1-J^rows)^bands — k=3, 16 bands × 2 rows: ≥ 0.99 at J ≥ 0.5).
     Union the three passes before :func:`resolve_entities` for
     multi-pass linkage.
 
@@ -171,10 +188,17 @@ def lsh_link_pairs(
     ``portable_token_hash60`` every stage — shingles, signatures,
     band buckets, cap, candidates, distances — is recomputable by an
     ANSI-SQL oracle (the x6b replay idiom)."""
-    from dirty_js_etl_spark.operators.dedup import minhash_band_table
+    from dirty_js_etl_spark.operators.dedup import (
+        char_shingles,
+        minhash_band_table,
+    )
 
     rec = F.col(record_col) if isinstance(record_col, str) else record_col
     recs = df.select(F.col(id_col).alias("id"), rec.alias("rec"))
+    if dedup_values:
+        # one value-keyed shuffle (map-side combined min); every later
+        # stage then works on distinct values, never on clique members
+        recs = recs.groupBy("rec").agg(F.min("id").alias("id"))
     bt = minhash_band_table(
         recs,
         "id",
@@ -185,6 +209,7 @@ def lsh_link_pairs(
         seed=seed,
         hash_fn=hash_fn,
         portable_bands=portable_bands,
+        shingler=char_shingles,
     )
     ok = (
         bt.groupBy("band", "bucket")

@@ -140,7 +140,7 @@ def x206_entity_resolution(spark, sf_dir):
 
 
 def _x208_oracle_sql(
-    shingle_k: int = 2,
+    shingle_k: int = 3,
     num_perm: int = 32,
     bands: int = 16,
     cap: int = 1000,
@@ -169,16 +169,17 @@ def _x208_oracle_sql(
     )
     return f"""
 WITH recs AS (
-  SELECT p_partkey AS id, p_name || '|' || p_type AS rec FROM part
-), words AS (
-  SELECT id,
-         string_split(regexp_replace(lower(trim(rec)), '\\s+', ' ', 'g'), ' ') AS w
+  SELECT min(p_partkey) AS id, rec FROM (
+    SELECT p_partkey, p_name || '|' || p_type AS rec FROM part
+  ) GROUP BY rec
+), norm AS (
+  SELECT id, regexp_replace(lower(trim(rec)), '\\s+', ' ', 'g') AS t
   FROM recs
 ), shingles AS (
   SELECT id, UNNEST(list_distinct(list_transform(
-           range(1, greatest(len(w) - {shingle_k} + 1, 1) + 1),
-           i -> array_to_string(w[i:i+{shingle_k - 1}], ' ')))) AS g
-  FROM words
+           range(1, greatest(length(t) - {shingle_k} + 1, 1) + 1),
+           i -> substring(t, CAST(i AS INT), {shingle_k})))) AS g
+  FROM norm
 ), hashed AS (
   SELECT id, CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % {_P} AS hp
   FROM shingles
@@ -212,8 +213,11 @@ def x208_lsh_link_pairs(spark, sf_dir):
     # WHOLE record string, so a typo in the x205 blocking token itself
     # (which escapes both the exact-key block and x207's brand-block
     # sort adjacency when it hits the sort prefix) still lands the pair
-    # in a shared band bucket; Levenshtein verifies. Portable hashes +
-    # md5 band buckets make every stage oracle-recomputable.
+    # in a shared band bucket; Levenshtein verifies. Identical record
+    # VALUES collapse to a min-id representative first (dedup-then-
+    # link: on the 10x-replica sf1 fixture the record-level spelling is
+    # a 52.9M-pair clique blowup; value-level is ~0.4M). Portable
+    # hashes + md5 band buckets make every stage oracle-recomputable.
     from dirty_js_etl_spark.operators.dedup import portable_token_hash60
     from dirty_js_etl_spark.operators.linkage import lsh_link_pairs
 

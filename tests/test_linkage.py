@@ -132,13 +132,34 @@ def test_lsh_pass_catches_blocking_token_typos(spark):
 
 
 def test_lsh_pass_hot_bucket_cap(spark):
-    # every record identical -> one degenerate bucket per band; the cap
-    # drops them all rather than emitting the quadratic
+    # raw record-level mode (dedup_values=False): every record identical
+    # -> one degenerate bucket per band; the cap drops them all rather
+    # than emitting the quadratic
     from dirty_js_etl_spark.operators.linkage import lsh_link_pairs
 
     df = spark.createDataFrame(
         [(i, "same exact record text here") for i in range(30)],
         "id bigint, rec string",
     )
-    assert lsh_link_pairs(df, "id", "rec", max_bucket_size=10).count() == 0
-    assert lsh_link_pairs(df, "id", "rec").count() == 30 * 29 // 2
+    raw = dict(dedup_values=False)
+    assert lsh_link_pairs(df, "id", "rec", max_bucket_size=10, **raw).count() == 0
+    assert lsh_link_pairs(df, "id", "rec", **raw).count() == 30 * 29 // 2
+
+
+def test_lsh_pass_collapses_identical_values_by_default(spark):
+    # dedup-then-link: a 30-member identical-value clique is ONE node
+    # (no intra-clique pairs — identity linking belongs to the exact
+    # pass), and cross-value near matches pair the min-id
+    # representatives
+    from dirty_js_etl_spark.operators.linkage import lsh_link_pairs
+
+    df = spark.createDataFrame(
+        [(i, "same exact record text here") for i in range(10, 40)]
+        + [(50, "same exact record text hers")],  # distance 1 variant
+        "id bigint, rec string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.distance
+        for r in lsh_link_pairs(df, "id", "rec", max_distance=2).collect()
+    }
+    assert pairs == {(10, 50): 1}  # min-id rep of the clique, once
