@@ -48,14 +48,31 @@ def blocked_link_pairs(
     block_col: str | Column,
     max_distance: int = 2,
     max_block_size: int = 10_000,
+    dedup_values: bool = True,
 ) -> DataFrame:
     """Within-block record pairs with Levenshtein distance ≤
-    ``max_distance``. Returns (id_a, id_b, distance), id_a < id_b."""
+    ``max_distance``. Returns (id_a, id_b, distance), id_a < id_b.
+
+    ``dedup_values`` (default True) collapses identical (record, block)
+    VALUES to their min-id representative before pairing — the
+    dedup-then-link discipline: on a duplicate-heavy catalog a c-member
+    identical-value clique otherwise costs O(c²) join rows AND O(c²)
+    output pairs carrying no information beyond the value pair (the
+    10×-replica sf1 fixture made the record-level spelling emit 4.57M
+    pairs in 283 s; value-level is ~100× smaller). Identity linking
+    (same value ⇒ same entity) belongs to the exact-dedup pass /
+    :func:`resolve_entities`'s representative mapping. The hot-block
+    cap then counts distinct VALUES per block. ``dedup_values=False``
+    restores raw record-pair enumeration."""
     rec = F.col(record_col) if isinstance(record_col, str) else record_col
     blk = F.col(block_col) if isinstance(block_col, str) else block_col
     recs = df.select(
         F.col(id_col).alias("id"), rec.alias("rec"), blk.alias("blk")
     )
+    if dedup_values:
+        # one value-keyed shuffle (map-side combined min); later stages
+        # work on distinct (rec, blk) values, never clique members
+        recs = recs.groupBy("rec", "blk").agg(F.min("id").alias("id"))
     sizes = recs.groupBy("blk").agg(F.count(F.lit(1)).alias("__n"))
     recs = (
         recs.join(sizes, "blk").filter(F.col("__n") <= max_block_size).drop("__n")
@@ -85,6 +102,7 @@ def sorted_neighborhood_pairs(
     sort_key: str | Column | None = None,
     window: int = 4,
     max_distance: int = 2,
+    dedup_values: bool = True,
 ) -> DataFrame:
     """Blocked sorted-neighborhood candidate pairs (the OTHER classic
     linkage generator): within each block, records sort by
@@ -100,6 +118,16 @@ def sorted_neighborhood_pairs(
     linear in the corpus, no quadratic block term at all (this is why
     SNM is the pass of choice for blocks too hot to pair exhaustively).
     Returns (id_a, id_b, distance), id_a < id_b.
+
+    ``dedup_values`` (default True) collapses identical
+    (record, block, key) VALUES to their min-id representative before
+    ranking — the same dedup-then-link discipline as
+    :func:`blocked_link_pairs`, and here it also IMPROVES recall: a
+    c-member identical-value clique otherwise occupies c consecutive
+    ranks and crowds genuinely-near distinct values out of the
+    neighborhood window, while emitting c·(window−1) no-information
+    clique pairs (17.4 s at sf1 on the 10×-replica fixture; value
+    level is sub-second and window slots go to distinct values).
     """
     from pyspark.sql import Window
 
@@ -109,11 +137,14 @@ def sorted_neighborhood_pairs(
         key = rec
     else:
         key = F.col(sort_key) if isinstance(sort_key, str) else sort_key
-    w = Window.partitionBy("blk").orderBy("key", "id")
-    ranked = df.select(
+    recs = df.select(
         F.col(id_col).alias("id"), rec.alias("rec"), blk.alias("blk"),
         key.alias("key"),
-    ).withColumn("rn", F.row_number().over(w))
+    )
+    if dedup_values:
+        recs = recs.groupBy("rec", "blk", "key").agg(F.min("id").alias("id"))
+    w = Window.partitionBy("blk").orderBy("key", "id")
+    ranked = recs.withColumn("rn", F.row_number().over(w))
     l, r = ranked.alias("l"), ranked.alias("r")
     dist = F.levenshtein(F.col("l.rec"), F.col("r.rec"))
     return (
@@ -250,14 +281,33 @@ def resolve_entities(
 ) -> DataFrame:
     """One entity id per record: connected components over the blocked
     match pairs (entity_id = min member id), singletons keep their own
-    id. Returns (id, entity_id)."""
+    id. Returns (id, entity_id).
+
+    Pairs are VALUE-level (see :func:`blocked_link_pairs`
+    ``dedup_values``): components run over distinct (record, block)
+    value representatives — clique-size-independent — and every record
+    then inherits its representative's entity through one value-keyed
+    join. The resulting partition is IDENTICAL to record-level
+    resolution: an identical-value clique is internally connected by
+    its distance-0 in-block pairs either way, and the component's min
+    id equals the min over its representatives (each representative is
+    already its clique's min)."""
     from dirty_js_etl_spark.operators.dedup import dup_clusters
 
+    rec = F.col(record_col) if isinstance(record_col, str) else record_col
+    blk = F.col(block_col) if isinstance(block_col, str) else block_col
     pairs = blocked_link_pairs(
         df, id_col, record_col, block_col, max_distance, max_block_size
     )
     clusters = dup_clusters(pairs)
-    ids = df.select(F.col(id_col).alias("id"))
-    return ids.join(clusters, "id", "left").select(
-        "id", F.coalesce("cluster_id", "id").alias("entity_id")
+    recs = df.select(
+        F.col(id_col).alias("id"), rec.alias("rec"), blk.alias("blk")
+    )
+    reps = recs.groupBy("rec", "blk").agg(F.min("id").alias("rep"))
+    return (
+        recs.join(reps, ["rec", "blk"])
+        .join(
+            clusters.withColumnRenamed("id", "rep"), "rep", "left"
+        )
+        .select("id", F.coalesce("cluster_id", "rep").alias("entity_id"))
     )

@@ -122,6 +122,12 @@ _SENTINELS: list[str] = [
     # - new: the LSH-blocked third linkage pass (typo-tolerant blocking,
     #   fully oracle-replayed)
     "x208_lsh_link_pairs",
+    # - the whole linkage family moved to value-level dedup-then-link
+    #   (the first 51-query scale audit caught x205/x206 at 96x/55x on
+    #   the replica fixture); x207 widened to window=6/distance=3
+    "x205_link_pairs",
+    "x206_entity_resolution",
+    "x207_sorted_neighborhood",
 ]
 
 

@@ -3,12 +3,18 @@
 Record linkage over the part catalog: records are the composite
 ``p_name|p_type`` listing strings, the blocking key is the product
 noun + brand (cheap, high-recall — two listings of the same product
-share both), matches are within-block pairs at Levenshtein ≤ 2, and
-entities are connected components over the match graph. Both stages
-are exactly SQL-replayable (DuckDB ships ``levenshtein`` and walks
-the components with the x36 recursive-CTE pattern), so blocked
-candidate generation, the in-join distance pruning, AND the
-transitive entity assignment are all hash-checked.
+share both), matches are within-block pairs of distinct record VALUES
+(identical values collapse to min-id representatives first —
+dedup-then-link, r9: clique-size-independent where the record-level
+spelling was O(clique²) on the replica-heavy sf1 fixture), and
+entities are connected components over the value match graph, with
+every record inheriting its representative's entity. All stages are
+exactly SQL-replayable (DuckDB ships ``levenshtein`` and walks the
+components with the x36 recursive-CTE pattern), so candidate
+generation, the in-join distance pruning, AND the transitive entity
+assignment are all hash-checked. Four passes: exact-key blocking
+(x205), sorted neighborhood (x207), LSH char-gram blocking (x208,
+catches typos in the blocking token itself), assembly (x206).
 """
 
 from __future__ import annotations
@@ -18,10 +24,12 @@ from pyspark.sql import functions as F
 from dirty_js_etl_spark.queries._shared import _cat, register
 
 _LINK_CTE = """
-WITH RECURSIVE c AS (
+WITH RECURSIVE c0 AS (
   SELECT p_partkey, p_name || '|' || p_type AS rec,
          split_part(p_name, ' ', 2) || '|' || p_brand AS blk
   FROM part
+), c AS (
+  SELECT min(p_partkey) AS p_partkey, rec, blk FROM c0 GROUP BY rec, blk
 ), sized AS (
   SELECT c.* FROM c JOIN (
     SELECT blk, count(*) AS n FROM c GROUP BY blk HAVING count(*) <= 10000
@@ -43,7 +51,11 @@ def x205_link_pairs(spark, sf_dir):
     # blocked candidate generation + in-join Levenshtein pruning: one
     # block-keyed shuffle, candidate work bounded by block sizes (the
     # hot-block cap guards the quadratic), distance evaluated inside
-    # the join condition by the codegen'd JVM levenshtein.
+    # the join condition by the codegen'd JVM levenshtein. Identical
+    # (record, block) values collapse to a min-id representative first
+    # (dedup-then-link, r9): the 10x-replica sf1 fixture made the
+    # record-level spelling a 4.57M-pair / 283 s clique blowup; value
+    # level is ~100x smaller and clique-size-independent.
     from dirty_js_etl_spark.operators.linkage import blocked_link_pairs
 
     part = _cat(spark, sf_dir).read("part")
@@ -61,9 +73,11 @@ def x205_link_pairs(spark, sf_dir):
 @register(
     "x207_sorted_neighborhood",
     """
-WITH c AS (
+WITH c0 AS (
   SELECT p_partkey, p_name || '|' || p_type AS rec, p_brand AS blk
   FROM part
+), c AS (
+  SELECT min(p_partkey) AS p_partkey, rec, blk FROM c0 GROUP BY rec, blk
 ), ranked AS (
   SELECT p_partkey, rec, blk,
          row_number() OVER (PARTITION BY blk ORDER BY rec, p_partkey) AS rn
@@ -73,17 +87,19 @@ SELECT least(a.p_partkey, b.p_partkey) AS id_a,
        greatest(a.p_partkey, b.p_partkey) AS id_b,
        CAST(levenshtein(a.rec, b.rec) AS INT) AS distance
 FROM ranked a JOIN ranked b
-  ON a.blk = b.blk AND b.rn - a.rn > 0 AND b.rn - a.rn < 4
- AND levenshtein(a.rec, b.rec) <= 2
+  ON a.blk = b.blk AND b.rn - a.rn > 0 AND b.rn - a.rn < 6
+ AND levenshtein(a.rec, b.rec) <= 3
 """,
 )
 def x207_sorted_neighborhood(spark, sf_dir):
     # the OTHER classic candidate generator: within each (coarser)
-    # brand block, records sort by their own value and pair with the
-    # next 3 in sort order — linear in the corpus (<= w-1 rows per
-    # record), so it works even on blocks too hot to pair
-    # exhaustively. The rank window partitions by block, never
-    # globally.
+    # brand block, distinct record VALUES (identical values collapse
+    # to a min-id representative first — dedup-then-link, r9, which
+    # also stops cliques crowding real neighbors out of the window)
+    # sort by their own value and pair with the next 3 in sort order —
+    # linear in the corpus (<= w-1 rows per value), so it works even
+    # on blocks too hot to pair exhaustively. The rank window
+    # partitions by block, never globally.
     from dirty_js_etl_spark.operators.linkage import (
         sorted_neighborhood_pairs,
     )
@@ -94,8 +110,12 @@ def x207_sorted_neighborhood(spark, sf_dir):
         "p_partkey",
         F.concat_ws("|", "p_name", "p_type"),
         F.col("p_brand"),
-        window=4,
-        max_distance=2,
+        # value-level ranking needs a slightly wider reach than the old
+        # record-level pass: with cliques collapsed, the 4/2 setting
+        # found only clique noise (0 distinct-value pairs on the
+        # fixtures); 6/3 pairs 66 distinct values at sf0.01
+        window=6,
+        max_distance=3,
     )
 
 
@@ -116,15 +136,18 @@ nodes AS (
 ), clusters AS (
   SELECT id, min(label) AS entity_id FROM walk GROUP BY id
 )
-SELECT p.p_partkey AS id, COALESCE(cl.entity_id, p.p_partkey) AS entity_id
-FROM part p LEFT JOIN clusters cl ON cl.id = p.p_partkey
+SELECT p.p_partkey AS id, COALESCE(cl.entity_id, r.p_partkey) AS entity_id
+FROM c0 p JOIN c r USING (rec, blk)
+LEFT JOIN clusters cl ON cl.id = r.p_partkey
 """,
 )
 def x206_entity_resolution(spark, sf_dir):
-    # full resolution: components over the match graph (min-label
-    # pointer jumping — dup_clusters), singletons keep their own id.
-    # The components run on the PAIR graph only; the full catalog
-    # re-attaches through one left join.
+    # full resolution: components over the VALUE-level match graph
+    # (min-label pointer jumping — dup_clusters), every record then
+    # inheriting its (rec, blk) representative's entity via one
+    # value-keyed join (identical partition to record-level resolution
+    # — see resolve_entities; r9). Components run on the pair graph
+    # only; singletons keep their representative's id.
     from dirty_js_etl_spark.operators.linkage import resolve_entities
 
     part = _cat(spark, sf_dir).read("part")
