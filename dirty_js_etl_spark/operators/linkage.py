@@ -271,6 +271,63 @@ def lsh_link_pairs(
     )
 
 
+def multi_pass_resolve(
+    df: DataFrame,
+    id_col: str,
+    record_col: str | Column,
+    pairs: list[DataFrame],
+) -> DataFrame:
+    """One entity id per record from the UNION of several candidate
+    passes — the composed pipeline the linkage family exists for
+    (catalog dedup runs exact-key blocking + sorted neighborhood + LSH
+    and resolves over everything they found). Returns (id, entity_id).
+
+    ``pairs`` are (id_a, id_b[, ...]) match pairs from any mix of
+    :func:`blocked_link_pairs` / :func:`sorted_neighborhood_pairs` /
+    :func:`lsh_link_pairs` over the SAME ``record_col``. Each pass
+    value-dedups under its own keying (rec+block vs rec only), so pair
+    endpoints may name different representatives of the same record
+    value; both endpoints are first canonicalized to the RECORD-value
+    representative (min id per distinct record string) through one
+    id→rep map — identical record values always co-resolve (identity
+    linking is the exact-dedup pass), and components then run on the
+    value-level union graph, never on clique members. Scale shape:
+    one value-keyed shuffle for the rep map, candidate-cardinality
+    joins to canonicalize, pointer-jumping components on the pair
+    graph only, and a final null-safe value-keyed re-attach (NULL
+    record values keep their row, as in :func:`resolve_entities`)."""
+    from dirty_js_etl_spark.operators.dedup import dup_clusters
+
+    rec = F.col(record_col) if isinstance(record_col, str) else record_col
+    recs = df.select(F.col(id_col).alias("id"), rec.alias("rec"))
+    reps = recs.groupBy("rec").agg(F.min("id").alias("rep"))
+    n, p = recs.alias("n"), reps.alias("p")
+    id2rep = n.join(
+        p, F.col("n.rec").eqNullSafe(F.col("p.rec"))
+    ).select(F.col("n.id").alias("id"), F.col("p.rep").alias("rep"))
+
+    allp = None
+    for pr in pairs:
+        pq = pr.select("id_a", "id_b")
+        allp = pq if allp is None else allp.unionByName(pq)
+    a = id2rep.select(F.col("id").alias("id_a"), F.col("rep").alias("ra"))
+    b = id2rep.select(F.col("id").alias("id_b"), F.col("rep").alias("rb"))
+    canon = (
+        allp.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("ra") != F.col("rb"))
+        .select(
+            F.least("ra", "rb").alias("id_a"),
+            F.greatest("ra", "rb").alias("id_b"),
+        )
+        .distinct()
+    )
+    clusters = dup_clusters(canon)
+    return id2rep.join(
+        clusters.withColumnRenamed("id", "rep"), "rep", "left"
+    ).select("id", F.coalesce("cluster_id", "rep").alias("entity_id"))
+
+
 def resolve_entities(
     df: DataFrame,
     id_col: str,
@@ -287,11 +344,23 @@ def resolve_entities(
     ``dedup_values``): components run over distinct (record, block)
     value representatives — clique-size-independent — and every record
     then inherits its representative's entity through one value-keyed
-    join. The resulting partition is IDENTICAL to record-level
-    resolution: an identical-value clique is internally connected by
-    its distance-0 in-block pairs either way, and the component's min
-    id equals the min over its representatives (each representative is
-    already its clique's min)."""
+    join. For UNCAPPED blocks the resulting partition is identical to
+    record-level resolution: an identical-value clique is internally
+    connected by its distance-0 in-block pairs either way, and the
+    component's min id equals the min over its representatives (each
+    representative is already its clique's min). When the hot-block cap
+    binds the semantics intentionally differ from the pre-value-level
+    behavior: ``max_block_size`` counts DISTINCT VALUES per block (a
+    10×-replicated catalog no longer caps out on clique copies), and in
+    a capped-out block clique members still share their representative's
+    entity (identical values are always co-resolved; only cross-value
+    pairing is suppressed).
+
+    NULL-safe: records whose record or block expression is NULL keep a
+    row in the output (ADVICE r09 — Spark's multi-column join is not
+    null-safe, so the value→record re-attach uses ``eqNullSafe``); a
+    NULL never pairs in the Levenshtein block join, so such records
+    resolve as value-level singletons."""
     from dirty_js_etl_spark.operators.dedup import dup_clusters
 
     rec = F.col(record_col) if isinstance(record_col, str) else record_col
@@ -304,10 +373,18 @@ def resolve_entities(
         F.col(id_col).alias("id"), rec.alias("rec"), blk.alias("blk")
     )
     reps = recs.groupBy("rec", "blk").agg(F.min("id").alias("rep"))
+    n, p = recs.alias("n"), reps.alias("p")
     return (
-        recs.join(reps, ["rec", "blk"])
+        n.join(
+            p,
+            F.col("n.rec").eqNullSafe(F.col("p.rec"))
+            & F.col("n.blk").eqNullSafe(F.col("p.blk")),
+        )
         .join(
             clusters.withColumnRenamed("id", "rep"), "rep", "left"
         )
-        .select("id", F.coalesce("cluster_id", "rep").alias("entity_id"))
+        .select(
+            F.col("n.id").alias("id"),
+            F.coalesce("cluster_id", "rep").alias("entity_id"),
+        )
     )

@@ -82,9 +82,14 @@ def _ascii_only(t):
     all three agree only while every char is one byte. The fixtures are
     ASCII; a non-ASCII document would silently diverge the declared
     chunk sizes from the encoded byte counts, so fail loudly instead
-    (ADVICE r08). Real deployments ingest actual binary files and never
-    hit these builders."""
-    return F.when(F.octet_length(t) == F.length(t), t).otherwise(
+    (ADVICE r08). NULL text passes through (ADVICE r09): the comparison
+    evaluates NULL on NULL input and must not fall into raise_error —
+    downstream builders already degrade NULL payloads to sentinels.
+    Real deployments ingest actual binary files and never hit these
+    builders."""
+    return F.when(
+        (F.octet_length(t) == F.length(t)) | t.isNull(), t
+    ).otherwise(
         F.raise_error(
             F.lit(
                 "synthetic payload builders require single-byte (ASCII) "

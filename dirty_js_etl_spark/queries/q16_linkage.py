@@ -96,7 +96,8 @@ def x207_sorted_neighborhood(spark, sf_dir):
     # brand block, distinct record VALUES (identical values collapse
     # to a min-id representative first — dedup-then-link, r9, which
     # also stops cliques crowding real neighbors out of the window)
-    # sort by their own value and pair with the next 3 in sort order —
+    # sort by their own value and pair with the next 5 in sort order
+    # (window=6, max_distance=3) —
     # linear in the corpus (<= w-1 rows per value), so it works even
     # on blocks too hot to pair exhaustively. The rank window
     # partitions by block, never globally.
@@ -137,7 +138,8 @@ nodes AS (
   SELECT id, min(label) AS entity_id FROM walk GROUP BY id
 )
 SELECT p.p_partkey AS id, COALESCE(cl.entity_id, r.p_partkey) AS entity_id
-FROM c0 p JOIN c r USING (rec, blk)
+FROM c0 p JOIN c r
+  ON p.rec IS NOT DISTINCT FROM r.rec AND p.blk IS NOT DISTINCT FROM r.blk
 LEFT JOIN clusters cl ON cl.id = r.p_partkey
 """,
 )
@@ -145,9 +147,11 @@ def x206_entity_resolution(spark, sf_dir):
     # full resolution: components over the VALUE-level match graph
     # (min-label pointer jumping — dup_clusters), every record then
     # inheriting its (rec, blk) representative's entity via one
-    # value-keyed join (identical partition to record-level resolution
-    # — see resolve_entities; r9). Components run on the pair graph
-    # only; singletons keep their representative's id.
+    # null-safe value-keyed join (eqNullSafe / IS NOT DISTINCT FROM —
+    # ADVICE r09: NULL-valued records must keep a row; identical
+    # partition to record-level resolution for uncapped blocks — see
+    # resolve_entities). Components run on the pair graph only;
+    # singletons keep their representative's id.
     from dirty_js_etl_spark.operators.linkage import resolve_entities
 
     part = _cat(spark, sf_dir).read("part")
@@ -162,7 +166,8 @@ def x206_entity_resolution(spark, sf_dir):
     )
 
 
-def _x208_oracle_sql(
+def _lsh_pair_ctes(
+    recs_cte: str,
     shingle_k: int = 3,
     num_perm: int = 32,
     bands: int = 16,
@@ -170,12 +175,12 @@ def _x208_oracle_sql(
     seed: int = 42,
     max_distance: int = 2,
 ) -> str:
-    """DuckDB replay of the FULL LSH linkage pass (the x6b idiom over
-    part records): portable 60-bit md5 shingle hashes of the
-    ``p_name|p_type`` record, the seeded (a*h+b) mod P signature
-    family, md5-derived band buckets, the hot-bucket cap, the
-    band-bucket candidate join, and the Levenshtein verify — so the
-    typo-tolerant third linkage pass is hash-checked end to end."""
+    """CTE chain ``norm .. lsh_pairs`` replaying the FULL LSH linkage
+    pass (the x6b idiom) over ``recs_cte`` (id, rec): portable 60-bit
+    md5 shingle hashes, the seeded (a*h+b) mod P signature family,
+    md5-derived band buckets, the hot-bucket cap, the band-bucket
+    candidate join, and the Levenshtein verify. Shared by the x208
+    oracle and the x209 composed multi-pass replay."""
     from dirty_js_etl_spark.operators.dedup import _P, _hash_params
 
     rows = num_perm // bands
@@ -190,14 +195,9 @@ def _x208_oracle_sql(
         f")), 1, 15) AS BIGINT) AS bucket FROM sigs"
         for j in range(bands)
     )
-    return f"""
-WITH recs AS (
-  SELECT min(p_partkey) AS id, rec FROM (
-    SELECT p_partkey, p_name || '|' || p_type AS rec FROM part
-  ) GROUP BY rec
-), norm AS (
+    return f"""norm AS (
   SELECT id, regexp_replace(lower(trim(rec)), '\\s+', ' ', 'g') AS t
-  FROM recs
+  FROM {recs_cte}
 ), shingles AS (
   SELECT id, UNNEST(list_distinct(list_transform(
            range(1, greatest(length(t) - {shingle_k} + 1, 1) + 1),
@@ -220,13 +220,28 @@ WITH recs AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM kept a JOIN kept b
     ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-)
-SELECT c.id_a, c.id_b,
-       CAST(levenshtein(ra.rec, rb.rec) AS INT) AS distance
-FROM cands c
-JOIN recs ra ON ra.id = c.id_a
-JOIN recs rb ON rb.id = c.id_b
-WHERE levenshtein(ra.rec, rb.rec) <= {max_distance}
+), lsh_pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(levenshtein(ra.rec, rb.rec) AS INT) AS distance
+  FROM cands c
+  JOIN {recs_cte} ra ON ra.id = c.id_a
+  JOIN {recs_cte} rb ON rb.id = c.id_b
+  WHERE levenshtein(ra.rec, rb.rec) <= {max_distance}
+)"""
+
+
+def _x208_oracle_sql() -> str:
+    """DuckDB replay of the LSH linkage pass over the ``p_name|p_type``
+    part records — every stage recomputed in SQL (see
+    :func:`_lsh_pair_ctes`), so the typo-tolerant third linkage pass is
+    hash-checked end to end."""
+    return f"""
+WITH recs AS (
+  SELECT min(p_partkey) AS id, rec FROM (
+    SELECT p_partkey, p_name || '|' || p_type AS rec FROM part
+  ) GROUP BY rec
+), {_lsh_pair_ctes("recs")}
+SELECT id_a, id_b, distance FROM lsh_pairs
 """
 
 

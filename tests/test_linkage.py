@@ -59,6 +59,33 @@ def test_resolution_is_transitive_and_keeps_singletons(spark):
     assert len(ents) == 5
 
 
+def test_resolution_keeps_null_valued_records(spark):
+    # ADVICE r09: the value->record re-attach join must be null-safe —
+    # a record whose record or block expression is NULL can never pair
+    # (NULL == NULL is NULL in the block join) but it must still get a
+    # row in the output, resolving to itself / its value representative.
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp", "a"),
+            (2, "acme c0rp", "a"),
+            (3, None, "a"),          # NULL record
+            (4, "acme corp", None),  # NULL block
+            (5, None, None),         # both NULL, duplicate value below
+            (6, None, None),
+        ],
+        "id bigint, rec string, blk string",
+    )
+    ents = {
+        r.id: r.entity_id
+        for r in resolve_entities(df, "id", "rec", "blk").collect()
+    }
+    assert len(ents) == 6  # no row silently dropped
+    assert ents[1] == ents[2] == 1
+    assert ents[3] == 3 and ents[4] == 4
+    # identical NULL-valued records share their min-id representative
+    assert ents[5] == ents[6] == 5
+
+
 def test_sorted_neighborhood_is_window_bounded(spark):
     from dirty_js_etl_spark.operators.linkage import (
         sorted_neighborhood_pairs,

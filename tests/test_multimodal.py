@@ -342,3 +342,26 @@ def test_payload_builders_reject_non_ascii_text(spark):
                     attach_ppm_stream_payload):
         with pytest.raises(Exception, match="ASCII|octet_length"):
             builder(df).select("payload").collect()
+
+
+def test_payload_builders_pass_null_text_through(spark):
+    # ADVICE r09: octet_length(NULL) == length(NULL) evaluates NULL, so
+    # without an explicit isNull branch the guard's otherwise() fell into
+    # raise_error and a single NULL text row failed the whole job with a
+    # misleading "requires ASCII" error. NULL must flow through to a NULL
+    # payload (which the decoders already degrade on — see
+    # test_null_payload_degrades_not_fails).
+    from dirty_js_etl_spark.operators.multimodal import (
+        attach_ppm_payload,
+        attach_ppm_stream_payload,
+        attach_wav_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "plain ascii text")], "doc_id long, text string"
+    )
+    for builder in (attach_ppm_payload, attach_wav_payload,
+                    attach_ppm_stream_payload):
+        rows = {r.doc_id: r.payload for r in
+                builder(df).select("doc_id", "payload").collect()}
+        assert rows[1] is None and rows[2] is not None
