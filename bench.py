@@ -88,6 +88,9 @@ HEADLINE = [
     "x205_link_pairs",
     "x206_entity_resolution",
     "x208_lsh_link_pairs",
+    # round 10: the composed multi-pass resolution (x209) — the full
+    # three-generator linkage pipeline, the heaviest linkage query
+    "x209_multi_pass_resolution",
 ]
 
 

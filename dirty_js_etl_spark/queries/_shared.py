@@ -97,36 +97,27 @@ def register(name: str, oracle: str | None):
 _SENTINELS: list[str] = [
     # evergreen §2 canary
     "t5_merge_full",
-    # round 9: these queries' implementations changed (previously-green
+    # round 10: these queries' implementations changed (previously-green
     # driver rows verified the OLD spelling), so they re-lead the window
     # for a fresh driver row under the new one:
-    # - EXISTS-shape semi joins rewritten as per-orderkey max
-    #   pre-aggregation + inner 1:1 join
-    "x37_semi_join",
-    "x193_tpch_q4",
-    # - the exact-Jaccard pipeline moved to the l=3 extended prefix
-    #   filter and all prefilters admit against tau - 5e-7 (the
-    #   rounded-contract tolerance); x6/x6b share the shingle pipeline
-    "x5_ngram_jaccard_pairs",
-    "x6_minhash_lsh_pairs",
-    "x6b_minhash_lsh_portable",
-    # - Q18 joins orders 1:1 to its HAVING aggregate (no lineitem
-    #   re-join); Q5 reordered fact-first
-    "x55_tpch_q18",
-    "x34_tpch_q5",
-    # - the synthetic payload builders gained the ASCII guard (plan
-    #   change: when/raise_error wraps the text input)
+    # - NEW: the composed multi-pass resolution (union of the three
+    #   candidate generators -> canonicalize -> components), the
+    #   flagship linkage capability, fully oracle-replayed
+    "x209_multi_pass_resolution",
+    # - resolve_entities' value->record re-attach went null-safe
+    #   (eqNullSafe; oracle moved to IS NOT DISTINCT FROM)
+    "x206_entity_resolution",
+    # - the x208 oracle was refactored into the shared _lsh_pair_ctes
+    #   (same SQL, new assembly) — re-verify under the driver
+    "x208_lsh_link_pairs",
+    # - the synthetic payload builders' ASCII guard gained the NULL
+    #   passthrough branch (plan change in every builder expression)
     "x16_multimodal_decode",
     "x203_audio_decode",
     "x204_frame_sample_real",
-    # - new: the LSH-blocked third linkage pass (typo-tolerant blocking,
-    #   fully oracle-replayed)
-    "x208_lsh_link_pairs",
-    # - the whole linkage family moved to value-level dedup-then-link
-    #   (the first 51-query scale audit caught x205/x206 at 96x/55x on
-    #   the replica fixture); x207 widened to window=6/distance=3
+    # round 9 carry-overs (plans unchanged since their r09 green rows,
+    # kept one more round as the §2 linkage-family canaries)
     "x205_link_pairs",
-    "x206_entity_resolution",
     "x207_sorted_neighborhood",
 ]
 

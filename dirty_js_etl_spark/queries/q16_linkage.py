@@ -245,6 +245,115 @@ SELECT id_a, id_b, distance FROM lsh_pairs
 """
 
 
+def _x209_oracle_sql() -> str:
+    """DuckDB replay of the COMPOSED multi-pass resolution: all three
+    candidate generators recomputed in SQL (x205's exact-key blocking,
+    x207's sorted neighborhood, x208's full LSH replay via
+    :func:`_lsh_pair_ctes`), pair endpoints canonicalized to the
+    record-value representative, components walked with the recursive
+    CTE, and every record re-attached null-safely — so the flagship
+    multi-pass pipeline is hash-checked end to end."""
+    return f"""
+WITH RECURSIVE r0 AS (
+  SELECT p_partkey AS id, p_name || '|' || p_type AS rec,
+         split_part(p_name, ' ', 2) || '|' || p_brand AS blk5,
+         p_brand AS blk7
+  FROM part
+), v5 AS (
+  SELECT min(id) AS id, rec, blk5 FROM r0 GROUP BY rec, blk5
+), s5 AS (
+  SELECT v5.* FROM v5 JOIN (
+    SELECT blk5, count(*) AS n FROM v5 GROUP BY blk5
+    HAVING count(*) <= 10000
+  ) z USING (blk5)
+), p5 AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM s5 a JOIN s5 b
+    ON a.blk5 = b.blk5 AND a.id < b.id AND levenshtein(a.rec, b.rec) <= 2
+), v7 AS (
+  SELECT min(id) AS id, rec, blk7 FROM r0 GROUP BY rec, blk7
+), rk AS (
+  SELECT id, rec, blk7,
+         row_number() OVER (PARTITION BY blk7 ORDER BY rec, id) AS rn
+  FROM v7
+), p7 AS (
+  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+  FROM rk a JOIN rk b
+    ON a.blk7 = b.blk7 AND b.rn - a.rn > 0 AND b.rn - a.rn < 6
+   AND levenshtein(a.rec, b.rec) <= 3
+), recs AS (
+  SELECT min(id) AS id, rec FROM r0 GROUP BY rec
+), {_lsh_pair_ctes("recs")}, m AS (
+  SELECT r0.id, recs.id AS rep
+  FROM r0 JOIN recs ON r0.rec IS NOT DISTINCT FROM recs.rec
+), allp AS (
+  SELECT DISTINCT least(a.rep, b.rep) AS id_a,
+                  greatest(a.rep, b.rep) AS id_b
+  FROM (
+    SELECT id_a, id_b FROM p5
+    UNION ALL SELECT id_a, id_b FROM p7
+    UNION ALL SELECT id_a, id_b FROM lsh_pairs
+  ) u
+  JOIN m a ON a.id = u.id_a
+  JOIN m b ON b.id = u.id_b
+  WHERE a.rep <> b.rep
+), nodes AS (
+  SELECT id_a AS id FROM allp UNION SELECT id_b FROM allp
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM allp
+  UNION SELECT id_b, id_a FROM allp
+), walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
+  WHERE w.label < e.src
+), clusters AS (
+  SELECT id, min(label) AS entity_id FROM walk GROUP BY id
+)
+SELECT m.id, COALESCE(cl.entity_id, m.rep) AS entity_id
+FROM m LEFT JOIN clusters cl ON cl.id = m.rep
+"""
+
+
+@register("x209_multi_pass_resolution", _x209_oracle_sql())
+def x209_multi_pass_resolution(spark, sf_dir):
+    # the composed pipeline the linkage family exists for (catalog
+    # dedup): union the three candidate generators — exact-key blocking
+    # (misses typos in the blocking token), sorted neighborhood (misses
+    # typos in the sort prefix), LSH char-gram bands (catches both) —
+    # canonicalize pair endpoints to record-value representatives, and
+    # resolve one entity per record over the union match graph.
+    # Value-level throughout: the rep map is one value-keyed shuffle,
+    # canonicalization is candidate-cardinality, components run on the
+    # pair graph only, the final re-attach is null-safe.
+    from dirty_js_etl_spark.operators.dedup import portable_token_hash60
+    from dirty_js_etl_spark.operators.linkage import (
+        blocked_link_pairs,
+        lsh_link_pairs,
+        multi_pass_resolve,
+        sorted_neighborhood_pairs,
+    )
+
+    part = _cat(spark, sf_dir).read("part")
+    rec = F.concat_ws("|", "p_name", "p_type")
+    blk5 = F.concat_ws(
+        "|", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), F.col("p_brand")
+    )
+    p5 = blocked_link_pairs(part, "p_partkey", rec, blk5, max_distance=2)
+    p7 = sorted_neighborhood_pairs(
+        part, "p_partkey", rec, F.col("p_brand"), window=6, max_distance=3
+    )
+    p8 = lsh_link_pairs(
+        part,
+        "p_partkey",
+        rec,
+        max_distance=2,
+        hash_fn=portable_token_hash60,
+        portable_bands=True,
+    )
+    return multi_pass_resolve(part, "p_partkey", rec, [p5, p7, p8])
+
+
 @register("x208_lsh_link_pairs", _x208_oracle_sql())
 def x208_lsh_link_pairs(spark, sf_dir):
     # typo-tolerant third linkage pass: MinHash-LSH blocks over the

@@ -128,6 +128,58 @@ def test_resolution_matches_pairwise_query_on_fixture(catalog):
         assert ents[p.id_a] == ents[p.id_b]
 
 
+def test_multi_pass_union_strictly_dominates_each_single_pass(catalog):
+    # the composed x209 pipeline exists because each generator has a
+    # blind spot; on the fixture the union must merge strictly MORE than
+    # any single pass alone (fewer entities), and never split an entity
+    # a single pass found (every single-pass merge survives the union).
+    from dirty_js_etl_spark.operators.dedup import portable_token_hash60
+    from dirty_js_etl_spark.operators.linkage import (
+        lsh_link_pairs,
+        multi_pass_resolve,
+        sorted_neighborhood_pairs,
+    )
+
+    part = catalog.read("part")
+    rec = F.concat_ws("|", "p_name", "p_type")
+    blk5 = F.concat_ws(
+        "|", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), F.col("p_brand")
+    )
+    passes = {
+        "blocked": blocked_link_pairs(part, "p_partkey", rec, blk5, max_distance=2),
+        "snm": sorted_neighborhood_pairs(
+            part, "p_partkey", rec, F.col("p_brand"), window=6, max_distance=3
+        ),
+        "lsh": lsh_link_pairs(
+            part, "p_partkey", rec, max_distance=2,
+            hash_fn=portable_token_hash60, portable_bands=True,
+        ),
+    }
+
+    def partition(pair_list):
+        ents = {}
+        for r in multi_pass_resolve(
+            part, "p_partkey", rec, pair_list
+        ).collect():
+            ents.setdefault(r.entity_id, set()).add(r.id)
+        return ents
+
+    union = partition(list(passes.values()))
+    n_union = len(union)
+    member_to_union_entity = {
+        m: e for e, ms in union.items() for m in ms
+    }
+    for name, p in passes.items():
+        single = partition([p])
+        # strictly more merges than the single pass (fewer entities)
+        assert n_union < len(single), f"union does not dominate {name}"
+        # refinement: every single-pass entity sits inside one union entity
+        for ms in single.values():
+            assert len({member_to_union_entity[m] for m in ms}) == 1, (
+                f"union split an entity the {name} pass had merged"
+            )
+
+
 def test_lsh_pass_catches_blocking_token_typos(spark):
     """Recall case for the third pass (VERDICT r08 task 6): a typo in
     the BLOCKING token itself escapes the exact-key block entirely —
