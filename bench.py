@@ -91,6 +91,7 @@ HEADLINE = [
     # round 10: the composed multi-pass resolution (x209) — the full
     # three-generator linkage pipeline, the heaviest linkage query
     "x209_multi_pass_resolution",
+    "x210_weighted_link_pairs",
 ]
 
 

@@ -104,6 +104,8 @@ _SENTINELS: list[str] = [
     #   candidate generators -> canonicalize -> components), the
     #   flagship linkage capability, fully oracle-replayed
     "x209_multi_pass_resolution",
+    # - NEW: weighted multi-field linkage scoring (Fellegi-Sunter-lite)
+    "x210_weighted_link_pairs",
     # - resolve_entities' value->record re-attach went null-safe
     #   (eqNullSafe; oracle moved to IS NOT DISTINCT FROM)
     "x206_entity_resolution",
