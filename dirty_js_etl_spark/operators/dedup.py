@@ -419,27 +419,33 @@ def ngram_jaccard_pairs(
       same groupBy that forms the prefixes) — candidate-cardinality
       work, no corpus-scale posting join.
     """
+    from pyspark.sql import Window
+
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     )
-    # two consumers (df-counts, the cap join's probe side) —
-    # materialize the narrow hashed-shingle rows once: without the
-    # checkpoint the df-count aggregate and the cap join each replay
-    # the scan+shingle lineage and the job triples at sf1 (measured
-    # 31 s vs 11 s); with it the barrier costs ~0.5 s at sf0.1.
-    # GC-scoped localCheckpoint, not session-pinned persist; EAGER —
-    # lazy checkpoints of multi-consumer frames materialize mid-job
-    # and spray cancelled-task accumulator noise (VERDICT r04 #8).
     exploded = base.select(
         "id",
         F.size("sh").alias("sz"),  # shingles are array_distinct → set size
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"),
-    ).localCheckpoint(eager=True)
-    df_counts = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
-    capped = (
-        exploded.join(df_counts, "g").filter(F.col("__df") <= max_shingle_df)
     )
+    # document frequency per shingle as ONE window over the posting
+    # table (r10): the previous shape — a groupBy(g) aggregate joined
+    # back onto the postings — shuffled the corpus-scale posting rows
+    # TWICE (once map-side-combined for the counts, once full for the
+    # sort-merge cap join) and needed an eager localCheckpoint because
+    # exploded had two consumers replaying the scan+shingle lineage
+    # (31 s vs 11 s at sf1 without it). count(*) OVER (PARTITION BY g)
+    # computes the same uncapped df in the single g-keyed shuffle the
+    # join's probe side paid anyway, the lineage is linear (one
+    # consumer — no checkpoint, no second scan), and the per-shingle
+    # partitions a window must buffer are exactly the df counts the
+    # cap is about to bound (a hot stop-shingle buffers at most its
+    # posting list, the same rows the old join shuffled to one reducer).
+    capped = exploded.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("__df") <= max_shingle_df)
     # one shuffle by id builds both the global-order arrays (verify
     # side) and the prefixes (candidate side); sort_array on
     # struct(df, g) is the rarest-first total order
