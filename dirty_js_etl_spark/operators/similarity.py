@@ -654,25 +654,27 @@ def ivf_topk_seeded(
         .limit(n_centroids)
         .collect()
     )
-    cents = [(cell, list(r["cvec"])) for cell, r in enumerate(seeds)]
+    # ONE nested-array literal for the whole centroid matrix (r10):
+    # the per-centroid spelling built 2 x n_centroids x dim separate
+    # F.lit() Columns (≈2k py4j round-trips + a thousand-literal tree
+    # re-analyzed on every run — x201's 3.3 s was mostly plan build,
+    # not data). transform's (element, index) lambda recovers the cell
+    # id from matrix position, so cell numbering, the zip_with/aggregate
+    # left-fold arithmetic, and the (d, c) struct tie-break are all
+    # unchanged — same oracle hash, ~20x smaller plan.
+    matrix = F.lit([[float(x) for x in r["cvec"]] for r in seeds])
 
     def dstructs(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(float(x)) for x in cv]),
-                            lambda x, cc: (x - cc) * (x - cc),
-                        ),
-                        F.lit(0.0),
-                        lambda a, b: a + b,
-                    ).alias("d"),
-                    F.lit(cell).alias("c"),
-                )
-                for cell, cv in cents
-            ]
+        return F.transform(
+            matrix,
+            lambda cv, i: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, cv, lambda x, cc: (x - cc) * (x - cc)),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ).alias("d"),
+                i.cast("int").alias("c"),
+            ),
         )
 
     assigned = c.withColumn(

@@ -360,3 +360,17 @@ def test_tpch_q20_pushed_year_and_semi_join(spark):
     plan = _plan(spark, "x197_tpch_q20")
     assert "PushedFilters" in plan and "l_shipdate" in plan
     assert "LeftSemi" in plan
+
+
+def test_tpch_q3_structural_single_exchange(spark):
+    # pins the r9 sf1 audit verdict (SCALE.md "x33 — structural, kept",
+    # commit a398753): at fixture scale BUILDING customers broadcast-
+    # build against orders, the post-shipdate-cut lineitem slice
+    # broadcast-builds against the filtered c⋈o side, and the ONLY
+    # hash exchange is the final group-by — the query is scan-bound.
+    # A planner/AQE flip to a shuffle join (or any second exchange)
+    # fails here and forces a re-audit instead of a silent bench drift.
+    plan = _plan(spark, "x33_tpch_q3")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
