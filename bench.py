@@ -92,6 +92,7 @@ HEADLINE = [
     # three-generator linkage pipeline, the heaviest linkage query
     "x209_multi_pass_resolution",
     "x210_weighted_link_pairs",
+    "x211_pii_redact",
 ]
 
 

@@ -49,6 +49,7 @@ from dirty_js_etl_spark.queries import (  # noqa: E402
     q14_privacy,
     q15_kmeans,
     q16_linkage,
+    q17_pii,
 )
 
 # Hoist every query callable / helper defined by the domain modules so the
@@ -71,6 +72,7 @@ for _mod in (
     q14_privacy,
     q15_kmeans,
     q16_linkage,
+    q17_pii,
 ):
     for _name, _val in vars(_mod).items():
         if _name.startswith("__"):

@@ -106,6 +106,8 @@ _SENTINELS: list[str] = [
     "x209_multi_pass_resolution",
     # - NEW: weighted multi-field linkage scoring (Fellegi-Sunter-lite)
     "x210_weighted_link_pairs",
+    # - NEW: PII detection + redaction (map-only regex scrub, md5-checked)
+    "x211_pii_redact",
     # - resolve_entities' value->record re-attach went null-safe
     #   (eqNullSafe; oracle moved to IS NOT DISTINCT FROM)
     "x206_entity_resolution",

@@ -12,9 +12,10 @@ Demonstrates the full linkage surface (``operators/linkage.py``):
 3. PASS 3 — LSH blocking: MinHash bands over the WHOLE record, so a
    typo in the pass-1 blocking token itself (invisible to passes 1-2)
    still buckets the pair together, Levenshtein-verified;
-4. UNION the passes (multi-pass linkage), resolve entities as
-   connected components (singletons keep their own id), and report
-   the catalog's duplication profile.
+4. ``multi_pass_resolve`` (registered + hash-checked as x209):
+   canonicalize the unioned pairs to record-value representatives,
+   run connected components on the value-level union graph, re-attach
+   every record null-safely, and report the duplication profile.
 
 Usage: python examples/entity_resolution.py [sf_dir]   (default sf0.1)
 """
@@ -30,10 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from dirty_js_etl_spark.catalog import fixture_catalog  # noqa: E402
-from dirty_js_etl_spark.operators.dedup import dup_clusters  # noqa: E402
 from dirty_js_etl_spark.operators.linkage import (  # noqa: E402
     blocked_link_pairs,
     lsh_link_pairs,
+    multi_pass_resolve,
     sorted_neighborhood_pairs,
 )
 from dirty_js_etl_spark.session import get_spark  # noqa: E402
@@ -53,17 +54,9 @@ def main(sf_dir: str) -> None:
         part, "p_partkey", rec, F.col("p_brand"), window=4, max_distance=2
     )
     p3 = lsh_link_pairs(part, "p_partkey", rec, max_distance=2)
-    matches = (
-        p1.select("id_a", "id_b")
-        .unionByName(p2.select("id_a", "id_b"))
-        .unionByName(p3.select("id_a", "id_b"))
-        .distinct()
-    )
-    clusters = dup_clusters(matches)
-    ids = part.select(F.col("p_partkey").alias("id"))
-    resolved = ids.join(clusters, "id", "left").select(
-        "id", F.coalesce("cluster_id", "id").alias("entity_id")
-    )
+    # canonicalizes the pair endpoints (each pass value-dedups under
+    # its own keying) and resolves at the value level — the x209 shape
+    resolved = multi_pass_resolve(part, "p_partkey", rec, [p1, p2, p3])
 
     sizes = resolved.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n"))
     profile = (
