@@ -1,0 +1,102 @@
+"""Iterative graph algorithms as DataFrame loops — here an
+engine-portable, integer-quantized PageRank.
+
+Reference scope note: the reference engine has no graph concept at all
+(nearest idea: the FK lookup join, ``mappr.js:283-307``); this module is
+SURVEY.md §2.3 extension surface, next to the pointer-jumping connected
+components (``dedup.dup_clusters``) and hierarchy flattening
+(``hierarchy.py``).
+
+Why a QUANTIZED PageRank: float PageRank sums per-node contributions
+across group ROWS, and parallel float addition is order-dependent — the
+same reason the k-means family was rows-only until x200. Keeping ranks
+in integer "rank units" makes every step exact in any engine:
+
+- ranks start at ``scale`` units per node (a 64-bit int);
+- each node sends ``floor(rank / out_degree)`` units along each
+  out-edge (exact integer division; the dust — at most out_degree−1
+  units — is dropped, the standard quantized-PageRank simplification);
+- per-node incoming sums are INTEGER sums (associative, commutative —
+  order-independent, unlike float);
+- the damping update is ``floor((1−d)·scale) + floor(d·incoming)``
+  with d as an exact rational (``d_num/d_den``, default 85/100), so it
+  stays in integer arithmetic end to end.
+
+Dangling nodes (no out-edges) keep only their teleport share — their
+rank is not redistributed (documented simplification; redistribution
+adds a global scalar that is also integer-exact if ever needed).
+
+Scale shape: one edges shuffle to build out-degrees, then per iteration
+one (dst-keyed) shuffle for the incoming sums and one left join back to
+the node list — all narrow (two longs per row). Iterations are UNROLLED
+(the caller picks a small fixed count), so a static SQL oracle replays
+the whole run bit-for-bit; the edge list is localCheckpointed once so
+the unrolled plan re-reads a materialized table instead of re-deriving
+the edges ``iters`` times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src_col: str | Column = "src",
+    dst_col: str | Column = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """(node, rank) after ``iters`` exact integer PageRank steps over
+    the distinct directed edge list. rank is BIGINT rank-units
+    (initial = ``scale``); nodes = every src or dst."""
+    e = edges.select(
+        (F.col(src_col) if isinstance(src_col, str) else src_col)
+        .cast("long")
+        .alias("src"),
+        (F.col(dst_col) if isinstance(dst_col, str) else dst_col)
+        .cast("long")
+        .alias("dst"),
+    ).distinct()
+    # materialize once, WITH the out-degree already attached and the
+    # rows hashed by src: the unrolled iterations would otherwise
+    # replay the edge derivation (scan + join + distinct) and the
+    # degree join `iters` times, and the src partitioning lets each
+    # iteration's rank join reuse the checkpointed layout instead of
+    # re-shuffling the edge table
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = e.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    base = (d_den - d_num) * scale // d_den
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            # `div` is INTEGER division on longs (Spark) — exact, unlike
+            # `/` which would round-trip through IEEE double
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"(coalesce(inc, CAST(0 AS BIGINT)) * {d_num})"
+                    f" div {d_den}"
+                )
+            ).alias("rank"),
+        )
+    return ranks
