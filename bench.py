@@ -93,7 +93,7 @@ HEADLINE = [
     "x209_multi_pass_resolution",
     "x210_weighted_link_pairs",
     "x211_pii_redact",
-    "x212_pagerank_portable",
+    "x143_pagerank",
 ]
 
 

@@ -392,6 +392,8 @@ def multi_pass_resolve(
     record values keep their row, as in :func:`resolve_entities`)."""
     from dirty_js_etl_spark.operators.dedup import dup_clusters
 
+    if not pairs:
+        raise ValueError("multi_pass_resolve needs at least one pair set")
     rec = F.col(record_col) if isinstance(record_col, str) else record_col
     recs = df.select(F.col(id_col).alias("id"), rec.alias("rec"))
     reps = recs.groupBy("rec").agg(F.min("id").alias("rep"))

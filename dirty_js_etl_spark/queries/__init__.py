@@ -50,7 +50,6 @@ from dirty_js_etl_spark.queries import (  # noqa: E402
     q15_kmeans,
     q16_linkage,
     q17_pii,
-    q18_graph,
 )
 
 # Hoist every query callable / helper defined by the domain modules so the
@@ -74,7 +73,6 @@ for _mod in (
     q15_kmeans,
     q16_linkage,
     q17_pii,
-    q18_graph,
 ):
     for _name, _val in vars(_mod).items():
         if _name.startswith("__"):

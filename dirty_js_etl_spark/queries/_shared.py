@@ -108,9 +108,10 @@ _SENTINELS: list[str] = [
     "x210_weighted_link_pairs",
     # - NEW: PII detection + redaction (map-only regex scrub, md5-checked)
     "x211_pii_redact",
-    # - NEW: engine-portable quantized PageRank (integer rank units,
-    #   unrolled iterations replayed bit-for-bit)
-    "x212_pagerank_portable",
+    # - x143's integer PageRank loop extracted into the reusable
+    #   operators/graph.py::pagerank_quantized (edges checkpointed once
+    #   with degree attached) — implementation changed, re-verify
+    "x143_pagerank",
     # - resolve_entities' value->record re-attach went null-safe
     #   (eqNullSafe; oracle moved to IS NOT DISTINCT FROM)
     "x206_entity_resolution",

@@ -915,11 +915,16 @@ def x143_pagerank(spark, sf_dir):
     # parts-per-million, contributions are floor-divided by degree,
     # damping is (85*s) DIV 100.  Every engine and every partitioning
     # produces bit-identical ranks, so the oracle unrolls the same 3
-    # iterations as plain CTEs.  Spark-side each iteration is one
-    # contribution shuffle keyed by dst; degrees broadcast; only the
-    # iteration COUNT is driver-side -- rank rows never leave
-    # executors.  At 100 TB add checkpointing every ~5 iterations to
-    # truncate lineage.
+    # iterations as plain CTEs.  Since r10 the iteration loop lives in
+    # ``operators/graph.py::pagerank_quantized`` (same arithmetic,
+    # extracted as a reusable operator): the edge table is
+    # localCheckpointed ONCE with the out-degree already attached and
+    # src hashing, so the 3 unrolled iterations read a materialized
+    # table instead of replaying the lineitem self-join + degree join
+    # each round — the x5 single-materialization idiom applied to an
+    # iterative algorithm.
+    from dirty_js_etl_spark.operators.graph import pagerank_quantized
+
     li = _cat(spark, sf_dir).read("lineitem")
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
@@ -934,36 +939,11 @@ def x143_pagerank(spark, sf_dir):
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    deg = edges.groupBy(F.col("src").alias("dsrc")).agg(
-        F.count(F.lit(1)).alias("d")
+    ranks = pagerank_quantized(
+        edges, iters=3, scale=1_000_000, d_num=85, d_den=100
     )
-    hop = edges.select(
-        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    ranks = nodes.withColumn("r", F.lit(1000000).cast("bigint"))
-    for _ in range(3):
-        contribs = (
-            # deg is |nodes|-scale — no forced broadcast; all three
-            # relations join on the node key so the shuffle partitioning
-            # is reused across iterations, and AQE broadcasts when small
-            ranks.join(deg, F.col("node") == F.col("dsrc"))
-            .withColumn("c", F.expr("r DIV d"))
-            .join(hop, F.col("node") == F.col("e_src"))
-            .groupBy(F.col("e_dst").alias("node2"))
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.expr(
-                    "CAST(150000 + (85 * coalesce(s, 0)) DIV 100 AS BIGINT)"
-                ).alias("r"),
-            )
-        )
     return ranks.select(
-        F.col("node").alias("part_key"), F.col("r").alias("rank_ppm")
+        F.col("node").alias("part_key"), F.col("rank").alias("rank_ppm")
     )
 
 
