@@ -294,9 +294,16 @@ def redact_pii(
 
     Scale: pure codegen projection — two ``regexp_replace`` passes, no
     UDF, no shuffle; linear in corpus bytes and embarrassingly parallel.
+    The generalized layer (configurable ordered patterns, replacement
+    counts, paired SQL generator) is ``operators/pii.py`` (x211); this
+    keeps the x51 two-pattern contract and delegates the chain there.
     """
-    out = F.regexp_replace(text, EMAIL_RE, email_token)
-    return F.regexp_replace(out, LONG_NUM_RE, number_token)
+    from dirty_js_etl_spark.operators.pii import chain_redact
+
+    return chain_redact(
+        text,
+        [("email", EMAIL_RE, email_token), ("number", LONG_NUM_RE, number_token)],
+    )
 
 
 def pii_report(

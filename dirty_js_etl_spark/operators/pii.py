@@ -1,6 +1,14 @@
 """PII detection + redaction over text columns — the scrubbing pass a
 training-data pipeline runs before anything else sees the corpus.
 
+This module GENERALIZES the fixed email/long-number scrub that shipped
+in ``operators/corpus.py`` (``redact_pii``/``pii_report``, query x51):
+that layer keeps its two hard-wired patterns and now delegates its
+replacement chain here (:func:`chain_redact`); this one adds an ordered
+configurable pattern list, per-pattern placeholders, replacement-order
+counts, and the paired SQL generator that lets an oracle replay the
+exact redacted bytes (x211).
+
 Reference scope note: the reference engine has no text operators at all
 (its closest concept is the scalar string transforms, ``mappr.js``
 TruncateString/ConcatColumns); this module is SURVEY.md §2.3 extension
@@ -39,6 +47,17 @@ DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("phone", r"\b\d{3}[-.]\d{3,4}\b", "<PHONE>"),
 ]
+
+
+def chain_redact(
+    text: Column, patterns: list[tuple[str, str, str]]
+) -> Column:
+    """The bare replacement chain (no counts): ``text`` with every
+    pattern globally replaced by its placeholder, in declared order."""
+    red = text
+    for _, pat, placeholder in patterns:
+        red = F.regexp_replace(red, pat, placeholder)
+    return red
 
 
 def redact_pii(

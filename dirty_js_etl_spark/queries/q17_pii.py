@@ -1,5 +1,10 @@
 """PII scrubbing queries (``operators/pii.py``).
 
+x211 generalizes the x51 scrub (``corpus.pii_report`` — two fixed
+patterns over customer-derived text): ordered configurable patterns,
+per-pattern placeholders, replacement-order counts, and an oracle that
+replays the exact redacted BYTES (md5), not just the counts.
+
 The fixture documents carry no real PII, so the query PLANTS
 deterministic synthetic PII derived from ``doc_id`` (an email, a
 phone-suffix, an IPv4 — the multimodal payload-builder move: data
