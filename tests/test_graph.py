@@ -62,3 +62,52 @@ def test_pagerank_dedups_edges(spark):
         map(tuple, pagerank_quantized(_edges(spark), iters=2, scale=1000).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property vs a pure-Python integer reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    iters=st.sampled_from([1, 2, 3]),
+)
+def test_pagerank_matches_python_reference(spark, edges, iters):
+    """Random small digraphs (self-loops, duplicate edges, dangling
+    nodes, disconnected bits) vs a dict-based exact-integer reference:
+    the quantized contract is bit-reproducible in ANY implementation,
+    so the distributed loop must equal the sequential one exactly."""
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank_quantized(df, iters=iters, scale=1000).collect()
+    }
+    es = sorted(set(edges))
+    nodes = sorted({n for e in es for n in e})
+    deg = {}
+    for s, _ in es:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: 1000 for n in nodes}
+    base = (100 - 85) * 1000 // 100
+    for _ in range(iters):
+        inc = {n: 0 for n in nodes}
+        for s, d in es:
+            inc[d] += rank[s] // deg[s]
+        rank = {n: base + (inc[n] * 85) // 100 for n in nodes}
+    assert got == rank

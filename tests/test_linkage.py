@@ -296,3 +296,145 @@ def test_lsh_pass_collapses_identical_values_by_default(spark):
         for r in lsh_link_pairs(df, "id", "rec", max_distance=2).collect()
     }
     assert pairs == {(10, 50): 1}  # min-id rep of the clique, once
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties vs brute-force references (the x5 idiom)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="abc", min_size=0, max_size=4),
+            st.text(alphabet="ab", min_size=0, max_size=3),
+            st.sampled_from(["x", "y"]),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_weighted_pairs_equal_brute_force(spark, rows):
+    """Random tiny-alphabet field tuples maximize duplicate values,
+    zero-length fields, and scores exactly AT the threshold — the
+    regimes where a buggy prefilter (length-diff or banded threshold)
+    would silently drop a qualifying pair. The prefilters must be
+    lossless: output == the plain score inequality, brute-forced."""
+    from dirty_js_etl_spark.operators.linkage import weighted_link_pairs
+
+    df = spark.createDataFrame(
+        [(i, f0, f1, blk) for i, (f0, f1, blk) in enumerate(rows)],
+        "id bigint, f0 string, f1 string, blk string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.score
+        for r in weighted_link_pairs(
+            df, "id", ["f0", "f1"], [1.0, 2.0], "blk", max_score=2.0
+        ).collect()
+    }
+    # reference: value-dedup to min-id reps, then all rep pairs in-block
+    reps = {}
+    for i, t in enumerate(rows):
+        reps.setdefault(t, i)
+    rep_rows = sorted((i, t) for t, i in reps.items())
+    exp = {}
+    for ai in range(len(rep_rows)):
+        for bi in range(ai + 1, len(rep_rows)):
+            (ia, (a0, a1, ablk)), (ib, (b0, b1, bblk)) = (
+                rep_rows[ai],
+                rep_rows[bi],
+            )
+            if ablk != bblk:
+                continue
+            score = 1.0 * _lev(a0, b0) + 2.0 * _lev(a1, b1)
+            if score <= 2.0:
+                exp[(ia, ib)] = score
+    assert got == exp
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    recs=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=5),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_multi_pass_partition_matches_union_find(spark, recs):
+    """The composed resolution must equal a brute-force union-find over
+    (a) identical-value cliques and (b) the union of the generated
+    pairs — random tiny strings force duplicate values, empty records,
+    and pass-representative mismatches (the canonicalization seam)."""
+    from dirty_js_etl_spark.operators.linkage import (
+        blocked_link_pairs,
+        multi_pass_resolve,
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(recs)], "id bigint, rec string"
+    )
+    blk = F.substring("rec", 1, 1)
+    p1 = blocked_link_pairs(df, "id", F.col("rec"), blk, max_distance=1)
+    p2 = sorted_neighborhood_pairs(
+        df, "id", F.col("rec"), blk, window=2, max_distance=2
+    )
+    got = {
+        r.id: r.entity_id
+        for r in multi_pass_resolve(df, "id", F.col("rec"), [p1, p2]).collect()
+    }
+    # union-find over value cliques + collected pairs
+    parent = list(range(len(recs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    byval = {}
+    for i, r in enumerate(recs):
+        byval.setdefault(r, []).append(i)
+    for ids in byval.values():
+        for i in ids[1:]:
+            union(ids[0], i)
+    for p in (p1, p2):
+        for row in p.collect():
+            union(int(row.id_a), int(row.id_b))
+    # min member id per component = the expected entity label
+    exp = {}
+    comp_min = {}
+    for i in range(len(recs)):
+        comp_min.setdefault(find(i), i)
+    for i in range(len(recs)):
+        exp[i] = comp_min[find(i)]
+    assert got == exp
