@@ -379,6 +379,7 @@ def ngram_jaccard_pairs(
     jaccard_threshold: float = 0.5,
     max_shingle_df: int = 1000,
     prefix_l: int = 3,
+    dedup_values: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs, count-based (no MinHash).
 
@@ -417,8 +418,118 @@ def ngram_jaccard_pairs(
     - surviving candidates verify by exact hashed-set intersection
       (``array_intersect`` on the capped per-doc arrays, built in the
       same groupBy that forms the prefixes) — candidate-cardinality
-      work, no corpus-scale posting join.
+      work, no corpus-scale posting join;
+    - ``dedup_values`` (default False; r10): the dedup-then-pair option
+      for EXACT-duplicate-heavy corpora (the r9 linkage lesson —
+      scraped training corpora routinely carry big identical-text
+      cliques, and record-level pairing is O(clique²) inside them).
+      Identical normalized texts collapse to a min-id representative
+      (md5 value key, one narrow (id, key) shuffle — text never
+      shuffles), the whole shingle/prefix/verify pipeline runs on
+      DISTINCT values only, and pairs re-expand through the clique map
+      at output cardinality. Cross-value member pairs inherit the
+      value pair's jaccard verbatim (identical shingle sets);
+      same-value member pairs get J = szc/(2·sz − szc) — exactly what
+      the record-level pipeline computes for an identical pair under
+      the capped-intersection / uncapped-size contract (and exactly no
+      pair when no shingle survives the cap, szc = 0, matching the
+      shared-surviving-token requirement). The emitted pair set is
+      IDENTICAL either way (hypothesis-property-tested against the
+      brute force); only the work moves from clique-quadratic to
+      value-level + output-cardinality. Default OFF because on a
+      LOW-exact-dup corpus (the fixtures: sf1 documents are 99.8%
+      distinct texts — their near-dup pairs are perturbed variants,
+      not clique members) the three extra materializations and
+      expansion joins are pure overhead (~2× at sf0.1); flip it on
+      when exact-dup mass is expected — it composes with, not
+      replaces, the upstream exact-dedup pass.
     """
+    from pyspark.sql import Window
+
+    from dirty_js_etl_spark.operators.text import normalize_text
+
+    tau = jaccard_threshold
+    if dedup_values:
+        # narrow clique shuffle: only (id, 128-bit value key) rows move;
+        # the representative's TEXT is fetched by one id-keyed join
+        # (AQE broadcasts the value table when small), never shuffled
+        # for the whole corpus. members / reps / mem are each consumed
+        # by several expansion joins, so they materialize once
+        # (GC-scoped eager localCheckpoints of narrow tables).
+        members = df.select(
+            F.col(id_col).alias("id"),
+            F.md5(normalize_text(F.col(text_col))).alias("vk"),
+        ).localCheckpoint(eager=True)
+        reps = (
+            members.groupBy("vk")
+            .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=True)
+        )
+        rep_docs = df.select(
+            F.col(id_col).alias("id"),
+            normalize_text(F.col(text_col)).alias("nt"),
+        ).join(reps.select(F.col("rep").alias("id")), "id")
+        vpairs, sizes = _ngram_pairs_core(
+            rep_docs, "id", "nt", shingle_k, tau, max_shingle_df, prefix_l
+        )
+        repmap = reps.select("rep", "vk", "__c")
+        mem = (
+            members.join(reps.select("vk", "rep"), "vk")
+            .select("id", "rep")
+            .localCheckpoint(eager=True)
+        )
+        ma = mem.select(F.col("rep").alias("id_a"), F.col("id").alias("__ia"))
+        mb = mem.select(F.col("rep").alias("id_b"), F.col("id").alias("__ib"))
+        cross = (
+            vpairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("__ia", "__ib").alias("id_a"),
+                F.greatest("__ia", "__ib").alias("id_b"),
+                "jaccard",
+            )
+        )
+        intra_q = (
+            repmap.filter(F.col("__c") > 1)
+            .join(sizes, "rep")
+            .filter(F.col("szc") > 0)
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("szc") / (2 * F.col("sz") - F.col("szc")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= tau)
+            .select("vk", "jaccard")
+        )
+        intra = (
+            intra_q.join(
+                members.select("vk", F.col("id").alias("id_a")), "vk"
+            )
+            .join(members.select("vk", F.col("id").alias("id_b")), "vk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "jaccard")
+        )
+        return cross.unionByName(intra)
+    pairs, _ = _ngram_pairs_core(
+        df, id_col, text_col, shingle_k, tau, max_shingle_df, prefix_l
+    )
+    return pairs
+
+
+def _ngram_pairs_core(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    jaccard_threshold: float,
+    max_shingle_df: int,
+    prefix_l: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The record-level prefix-filtered pipeline. Returns
+    (pairs (id_a, id_b, jaccard), sizes (rep, sz, szc)) — sizes come
+    off the already-checkpointed array table for the value-level
+    wrapper's intra-clique jaccard."""
     from pyspark.sql import Window
 
     base = df.select(
@@ -549,7 +660,7 @@ def ngram_jaccard_pairs(
             "__inter", F.size(F.array_intersect("__gaa", "__gab"))
         )
     )
-    return (
+    pairs = (
         verified.withColumn(
             "jaccard",
             F.round(
@@ -561,6 +672,10 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    sizes = arr.select(
+        F.col("id").alias("rep"), "sz", F.size("ga").alias("szc")
+    )
+    return pairs, sizes
 
 
 # ---------------------------------------------------------------------------

@@ -357,13 +357,19 @@ def test_prefix_filter_is_lossless_vs_brute_force(spark, corpus, threshold):
         [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
         "doc_id bigint, text string",
     )
-    got = {
-        (r.id_a, r.id_b): r.jaccard
-        for r in ngram_jaccard_pairs(
-            df, "doc_id", "text", shingle_k=3, jaccard_threshold=threshold
-        ).collect()
-    }
     exp = _ref_pairs(corpus, threshold)
-    assert set(got) == set(exp)
-    for k in exp:
-        assert abs(got[k] - exp[k]) < 1e-9
+    # both spellings must equal the brute force: the record-level path
+    # AND the value-level dedup-then-pair path (r10 — whose cross/intra
+    # expansion must reproduce identical-doc pairs, szc=0 drops, and
+    # the exact rounded jaccard; random tiny corpora are duplicate-rich)
+    for dedup_values in (False, True):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", shingle_k=3,
+                jaccard_threshold=threshold, dedup_values=dedup_values,
+            ).collect()
+        }
+        assert set(got) == set(exp), dedup_values
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-9
