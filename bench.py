@@ -94,6 +94,7 @@ HEADLINE = [
     "x210_weighted_link_pairs",
     "x211_pii_redact",
     "x143_pagerank",
+    "x213_t_closeness",
 ]
 
 

@@ -95,3 +95,86 @@ def l_diversity(
         F.countDistinct(sensitive).alias("l_div"),
         (F.countDistinct(sensitive) >= l_floor).alias("diverse"),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    keys: list[str],
+    sensitive: str,
+    t_num: int = 1,
+    t_den: int = 5,
+) -> DataFrame:
+    """t-closeness report (Li et al. 2007) for an ORDERED sensitive
+    attribute: per equivalence class, the Earth Mover's Distance
+    between the class's sensitive-value distribution and the GLOBAL
+    distribution, with the release gate ``emd <= t`` (t = t_num/t_den).
+    The third gate of the canonical trio — k-anonymity bounds class
+    size, l-diversity bounds value variety, t-closeness bounds how much
+    a class's distribution DIFFERS from global (a diverse class skewed
+    to high values still discloses).
+
+    Exact in ANY engine: for ordered values, EMD =
+    Σᵢ |Σ_{j≤i} (p_j − q_j)| / (m − 1) with p_j = c_j/n, q_j = g_j/N —
+    rewritten over integers as cum_i = Σ_{j≤i} (c_j·N − g_j·n), so
+    emd_num = Σ|cum_i| and emd_den = n·N·(m−1) are exact BIGINTs, the
+    gate is the integer comparison t_den·emd_num ≤ t_num·emd_den, and
+    the reported ``emd`` double is ONE correctly-rounded IEEE division
+    (the quantized-replay discipline: no float accumulation anywhere).
+    Rows with a NULL sensitive value are excluded from both
+    distributions. A single-valued global domain (m = 1) has emd 0 by
+    definition.
+
+    Scale: two raw-table groupBys (classes×values and class sizes, both
+    map-side combined), the global value histogram and the (N, m)
+    scalar broadcast onto the class-cardinality grid, one class-keyed
+    window for the cumulative sums — nothing downstream of the raw
+    scans exceeds classes × values rows. Returns
+    (keys…, n, emd_num, emd_den, tclose, emd)."""
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(sensitive).isNotNull()).select(
+        *keys, F.col(sensitive).alias("__s")
+    )
+    g = base.groupBy("__s").agg(F.count(F.lit(1)).alias("__g"))
+    tot = base.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.countDistinct("__s").alias("__m"),
+    )
+    cls = base.groupBy(*keys, "__s").agg(F.count(F.lit(1)).alias("__c"))
+    sizes = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        sizes.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .join(cls, [*keys, "__s"], "left")
+        .fillna(0, ["__c"])
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    diff = F.col("__c") * F.col("__N") - F.col("__g") * F.col("n")
+    per = (
+        grid.withColumn("__cum", F.sum(diff).over(w))
+        .groupBy(*keys, "n", "__N", "__m")
+        .agg(F.sum(F.abs(F.col("__cum"))).alias("emd_num"))
+    )
+    den = F.col("n") * F.col("__N") * (F.col("__m") - F.lit(1))
+    return per.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("emd_num").cast("long").alias("emd_num"),
+        den.cast("long").alias("emd_den"),
+        F.when(
+            F.col("__m") > 1,
+            F.lit(t_den) * F.col("emd_num") <= F.lit(t_num) * den,
+        )
+        .otherwise(F.lit(True))
+        .alias("tclose"),
+        F.when(
+            F.col("__m") > 1,
+            F.col("emd_num").cast("double") / den.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("emd"),
+    )

@@ -112,6 +112,8 @@ _SENTINELS: list[str] = [
     #   operators/graph.py::pagerank_quantized (edges checkpointed once
     #   with degree attached) — implementation changed, re-verify
     "x143_pagerank",
+    # - NEW: t-closeness gate (integer-exact ordered EMD per class)
+    "x213_t_closeness",
     # - resolve_entities' value->record re-attach went null-safe
     #   (eqNullSafe; oracle moved to IS NOT DISTINCT FROM)
     "x206_entity_resolution",

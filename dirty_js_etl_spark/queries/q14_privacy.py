@@ -88,3 +88,63 @@ def x199_l_diversity(spark, sf_dir):
     return l_diversity(
         cust, ["c_nationkey", "c_mktsegment"], "bal_band", l_floor=2
     )
+
+
+@register(
+    "x213_t_closeness",
+    """
+WITH base AS (
+  SELECT c_nationkey AS k1, c_mktsegment AS k2,
+         CAST(floor(c_acctbal / 1000) AS INT) AS s
+  FROM customer WHERE c_acctbal IS NOT NULL
+), g AS (
+  SELECT s, count(*) AS gc FROM base GROUP BY s
+), tot AS (
+  -- "tn", not "N": DuckDB identifiers are case-insensitive, so a
+  -- column named N would COLLIDE with the class size n in the grid
+  SELECT count(*) AS tn, count(DISTINCT s) AS m FROM base
+), sizes AS (
+  SELECT k1, k2, count(*) AS n FROM base GROUP BY 1, 2
+), cls AS (
+  SELECT k1, k2, s, count(*) AS c FROM base GROUP BY 1, 2, 3
+), grid AS (
+  SELECT z.k1, z.k2, z.n, g.s, g.gc, coalesce(c.c, 0) AS c, t.tn, t.m
+  FROM sizes z CROSS JOIN g CROSS JOIN tot t
+  LEFT JOIN cls c ON c.k1 = z.k1 AND c.k2 = z.k2 AND c.s = g.s
+), cums AS (
+  SELECT k1, k2, n, tn, m,
+         sum(c * tn - gc * n) OVER (PARTITION BY k1, k2 ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM grid
+), agg AS (
+  SELECT k1, k2, n, tn, m, sum(abs(cum)) AS emd_num
+  FROM cums GROUP BY 1, 2, 3, 4, 5
+)
+SELECT k1 AS c_nationkey, k2 AS c_mktsegment, CAST(n AS BIGINT) AS n,
+       CAST(emd_num AS BIGINT) AS emd_num,
+       CAST(n * tn * (m - 1) AS BIGINT) AS emd_den,
+       CASE WHEN m > 1 THEN 5 * emd_num <= 1 * (n * tn * (m - 1))
+            ELSE TRUE END AS tclose,
+       CASE WHEN m > 1 THEN CAST(emd_num AS DOUBLE)
+                          / CAST(n * tn * (m - 1) AS DOUBLE)
+            ELSE 0.0 END AS emd
+FROM agg
+""",
+)
+def x213_t_closeness(spark, sf_dir):
+    # the third canonical privacy gate: per-(nation, segment) class,
+    # the ordered-EMD between the class's balance-band distribution
+    # and the global one, entirely in integer arithmetic (exact cum
+    # sums over c_j*N - g_j*n; gate = integer comparison at t = 1/5;
+    # the reported emd double is one correctly-rounded division) — so
+    # the oracle replays the distances bit-for-bit. Class-cardinality
+    # work after two map-side-combined raw groupBys.
+    from dirty_js_etl_spark.operators.privacy import t_closeness
+
+    cat = _cat(spark, sf_dir)
+    cust = cat.read("customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("int")
+    )
+    return t_closeness(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", t_num=1, t_den=5
+    )

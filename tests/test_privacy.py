@@ -129,3 +129,46 @@ def test_l_diversity_bounds(catalog):
         | (F.col("diverse") != (F.col("l_div") >= 2))
     ).count()
     assert bad == 0
+
+
+def test_t_closeness_hand_computed(spark):
+    # global: s=0 x5, s=1 x2 (N=7, m=2); NULL sensitive rows excluded.
+    # A(0,0): cums 4,0 -> emd 4/14 = 2/7 > 1/5 -> not close
+    # C(0,0,0,1): cums 1,0 -> emd 1/28 -> close
+    # D(1): cums -5,0 -> emd 5/7 -> not close
+    from dirty_js_etl_spark.operators.privacy import t_closeness
+
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 0),
+         ("C", 0), ("C", 0), ("C", 0), ("C", 1), ("C", None),
+         ("D", 1)],
+        "k string, s int",
+    )
+    got = {r.k: r for r in t_closeness(df, ["k"], "s").collect()}
+    assert (got["A"].emd_num, got["A"].emd_den, got["A"].tclose) == (4, 14, False)
+    assert abs(got["A"].emd - 2 / 7) < 1e-12
+    assert (got["C"].n, got["C"].emd_num, got["C"].emd_den, got["C"].tclose) == (
+        4, 1, 28, True,
+    )
+    assert (got["D"].emd_num, got["D"].emd_den, got["D"].tclose) == (5, 7, False)
+
+
+def test_t_closeness_single_valued_domain(spark):
+    # m = 1: every class trivially matches the global distribution
+    from dirty_js_etl_spark.operators.privacy import t_closeness
+
+    df = spark.createDataFrame(
+        [("A", 9), ("B", 9), ("B", 9)], "k string, s int"
+    )
+    got = {r.k: r for r in t_closeness(df, ["k"], "s").collect()}
+    assert all(r.tclose and r.emd == 0.0 and r.emd_den == 0 for r in got.values())
+
+
+def test_t_closeness_global_shaped_class_is_zero(spark):
+    # a class whose distribution equals the global one has emd exactly 0
+    from dirty_js_etl_spark.operators.privacy import t_closeness
+
+    rows = [("A", 0), ("A", 0), ("A", 1)] + [("B", 0), ("B", 0), ("B", 1)]
+    df = spark.createDataFrame(rows, "k string, s int")
+    for r in t_closeness(df, ["k"], "s").collect():
+        assert r.emd_num == 0 and r.emd == 0.0 and r.tclose
