@@ -434,8 +434,12 @@ def ngram_jaccard_pairs(
       the capped-intersection / uncapped-size contract (and exactly no
       pair when no shingle survives the cap, szc = 0, matching the
       shared-surviving-token requirement). The emitted pair set is
-      IDENTICAL either way (hypothesis-property-tested against the
-      brute force); only the work moves from clique-quadratic to
+      IDENTICAL either way — including when the df cap binds: the
+      representative carries its clique size into the shingle pipeline
+      as a weight, so document frequency counts RECORDS (Σ clique
+      sizes), exactly what the record-level path counts (ADVICE r10;
+      hypothesis-property-tested against the brute force with a
+      binding cap). Only the work moves from clique-quadratic to
       value-level + output-cardinality. Default OFF because on a
       LOW-exact-dup corpus (the fixtures: sf1 documents are 99.8%
       distinct texts — their near-dup pairs are perturbed variants,
@@ -465,12 +469,19 @@ def ngram_jaccard_pairs(
             .agg(F.min("id").alias("rep"), F.count(F.lit(1)).alias("__c"))
             .localCheckpoint(eager=True)
         )
+        # the representative carries its clique size __c so the df cap
+        # stays RECORD-level: a shingle's document frequency must count
+        # every record (sum of clique sizes), not distinct values —
+        # otherwise, on exactly the exact-dup-heavy corpora this flag
+        # targets, the two modes would cap different shingles and emit
+        # different pairs (ADVICE r10)
         rep_docs = df.select(
             F.col(id_col).alias("id"),
             normalize_text(F.col(text_col)).alias("nt"),
-        ).join(reps.select(F.col("rep").alias("id")), "id")
+        ).join(reps.select(F.col("rep").alias("id"), "__c"), "id")
         vpairs, sizes = _ngram_pairs_core(
-            rep_docs, "id", "nt", shingle_k, tau, max_shingle_df, prefix_l
+            rep_docs, "id", "nt", shingle_k, tau, max_shingle_df, prefix_l,
+            weight_col="__c",
         )
         repmap = reps.select("rep", "vk", "__c")
         mem = (
@@ -525,20 +536,27 @@ def _ngram_pairs_core(
     jaccard_threshold: float,
     max_shingle_df: int,
     prefix_l: int,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The record-level prefix-filtered pipeline. Returns
     (pairs (id_a, id_b, jaccard), sizes (rep, sz, szc)) — sizes come
     off the already-checkpointed array table for the value-level
-    wrapper's intra-clique jaccard."""
+    wrapper's intra-clique jaccard. ``weight_col`` (a long column on
+    ``df``, default 1/row) weights each doc's contribution to the
+    per-shingle document frequency — the value-level wrapper passes
+    clique sizes so the df cap binds on RECORD-level counts."""
     from pyspark.sql import Window
 
+    w_expr = F.col(weight_col) if weight_col else F.lit(1)
     base = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
+        w_expr.cast("long").alias("__w"),
     )
     exploded = base.select(
         "id",
         F.size("sh").alias("sz"),  # shingles are array_distinct → set size
+        "__w",
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"),
     )
     # document frequency per shingle as ONE window over the posting
@@ -555,7 +573,7 @@ def _ngram_pairs_core(
     # cap is about to bound (a hot stop-shingle buffers at most its
     # posting list, the same rows the old join shuffled to one reducer).
     capped = exploded.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        "__df", F.sum("__w").over(Window.partitionBy("g"))
     ).filter(F.col("__df") <= max_shingle_df)
     # one shuffle by id builds both the global-order arrays (verify
     # side) and the prefixes (candidate side); sort_array on
@@ -683,11 +701,56 @@ def _ngram_pairs_core(
 # ---------------------------------------------------------------------------
 
 
+def _components_single_task(edges: DataFrame, id_type) -> DataFrame:
+    """Union-find connected components in ONE executor task (not the
+    driver) — the small-graph physical strategy of :func:`dup_clusters`.
+    ``edges`` is the bidirectional (src, dst) table, so ``src`` covers
+    every node. Union-by-min-root makes each component's root its
+    minimum member id — bit-identical output to the converged min-label
+    propagation. One job, zero iterative scheduling."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type), StructField("cluster_id", id_type)]
+    )
+
+    def uf(pdf):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+            rs, rd = find(s), find(d)
+            if rs == rd:
+                continue
+            if rd < rs:
+                rs, rd = rd, rs
+            parent[rd] = rs  # larger root under smaller: root = min id
+
+        ids = pdf["src"].drop_duplicates().tolist()
+        return pd.DataFrame(
+            {"id": ids, "cluster_id": [find(i) for i in ids]}
+        )
+
+    return edges.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda pdf: uf(pdf), schema
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    small_graph_edges: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, cluster_id) with
     cluster_id = min member id — the keep-one-per-cluster dedup step
@@ -700,6 +763,26 @@ def dup_clusters(
     round is two key-joins + a min-agg; labels are checkpointed per
     round so the plan does not grow. Raises if ``max_iterations``
     rounds don't converge.
+
+    Physical strategy is SIZE-ADAPTIVE (r11, the broadcast-vs-shuffle
+    analog for iterative graph work): the edge table is materialized
+    first (it is needed either way), and when it holds at most
+    ``small_graph_edges`` rows — the common case, since every upstream
+    candidate generator caps its blocks/bands — components run as a
+    single-task union-find (:func:`_components_single_task`): ONE job
+    instead of O(log d) iterations of join+checkpoint+check jobs whose
+    cost on a small match graph is pure scheduler floor (x209's
+    component stage was ~5 s of job floor for a 4.4k-edge graph at
+    sf0.1). Above the threshold the distributed min-label loop runs
+    unchanged — at 100 TB a pair graph can be billions of edges (the
+    caps bound per-block work, not the total), and nothing here ever
+    collects to the driver. Output is bit-identical either way
+    (union-by-min-root ≡ converged min-label propagation; both label a
+    component by its minimum member id). Per-round cost of the big-path
+    loop is one checkpoint job plus one bounded scan: the old-vs-new
+    comparison rides the checkpointed frame as a ``__chg`` flag, so the
+    convergence check is a filter over in-memory blocks, not a third
+    join.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -707,6 +790,9 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # bounded job over the checkpointed blocks — the strategy pick
+    if edges.count() <= small_graph_edges:
+        return _components_single_task(edges, pairs.schema[id_a].dataType)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -723,6 +809,7 @@ def dup_clusters(
         )
         stepped = labels.join(nbr, labels["id"] == nbr["src"], "left").select(
             "id",
+            F.col("label").alias("__old"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -738,17 +825,18 @@ def dup_clusters(
                 F.least(
                     F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("plabel"), F.col("label")),
+                    )
+                    != F.col("__old")
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.select("id", "label")
         if not changed:
             return labels.select("id", F.col("label").alias("cluster_id"))
     raise RuntimeError(

@@ -271,6 +271,107 @@ def lsh_link_pairs(
     )
 
 
+def _chunk_candidates(
+    recs: DataFrame, field: str, d: int
+) -> DataFrame:
+    """Lossless PassJoin-style candidate pairs (Li, Deng, Feng 2011 —
+    partition-based signatures for edit-distance joins): every pair
+    with ``levenshtein(field_a, field_b) <= d`` must share a chunk —
+    split a's field into ``d+1`` contiguous chunks; since ≤ d edits
+    cannot destroy all d+1 chunks (pigeonhole), at least one occurs
+    VERBATIM in b, and ≤ d edits shift its position by at most d. So
+    the candidate join is an EQUI-join on (block, chunk index, partner
+    length, chunk text): a emits its d+1 chunks keyed by its own
+    length; b emits, for every assumed partner length within ±d of its
+    own and every shift in [−d, d], the substring at the chunk's
+    shifted position. Returns distinct (id_a, id_b), id_a < id_b, same
+    block by construction.
+
+    Scale: signature explosion is (d+1)·(2d+1)² rows per record on the
+    probe side (75 at d=2) and d+1 on the anchor side — linear in the
+    corpus, narrow rows — and the join is equi-keyed (one shuffle), so
+    the quadratic within-block enumeration never happens; output is
+    candidate-cardinality. NULL fields compare as '' (the caller's
+    missing-as-empty contract)."""
+    nch = d + 1
+    fld = F.coalesce(F.col(field), F.lit(""))
+    base = recs.select(
+        "id", "blk", fld.alias("__s"), F.length(fld).alias("__n")
+    )
+
+    def start(j: int, nexpr: str) -> str:
+        return f"(({j} * {nexpr}) DIV {nch}) + 1"
+
+    def clen(j: int, nexpr: str) -> str:
+        return (
+            f"((({j + 1}) * {nexpr}) DIV {nch})"
+            f" - (({j} * {nexpr}) DIV {nch})"
+        )
+
+    anchor_arr = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.expr(start(j, "__n")).cast("int").alias("p"),
+            F.expr(clen(j, "__n")).cast("int").alias("ln"),
+        )
+        for j in range(nch)
+    ])
+    anchors = (
+        base.select("id", "blk", "__s", "__n", F.explode(anchor_arr).alias("c"))
+        .select(
+            "id",
+            "blk",
+            F.col("__n").alias("alen"),
+            F.col("c.j").alias("j"),
+            F.col("__s").substr(F.col("c.p"), F.col("c.ln")).alias("sub"),
+        )
+    )
+    probe_arr = F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.expr(f"__n + {off}").cast("int").alias("alen"),
+            F.expr(f"({start(j, f'(__n + {off})')}) + {shift}")
+            .cast("int")
+            .alias("p"),
+            F.expr(clen(j, f"(__n + {off})")).cast("int").alias("ln"),
+        )
+        for off in range(-d, d + 1)
+        for j in range(nch)
+        for shift in range(-d, d + 1)
+    ])
+    probes = (
+        base.select("id", "blk", "__s", "__n", F.explode(probe_arr).alias("c"))
+        .filter(
+            (F.col("c.alen") >= 0)
+            & (F.col("c.p") >= 1)
+            & (F.col("c.p") + F.col("c.ln") - 1 <= F.col("__n"))
+        )
+        .select(
+            "id",
+            "blk",
+            F.col("c.alen").alias("alen"),
+            F.col("c.j").alias("j"),
+            F.col("__s").substr(F.col("c.p"), F.col("c.ln")).alias("sub"),
+        )
+    )
+    a, b = anchors.alias("a"), probes.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.alen") == F.col("b.alen"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def weighted_link_pairs(
     df: DataFrame,
     id_col: str,
@@ -280,6 +381,8 @@ def weighted_link_pairs(
     max_score: float,
     max_block_size: int = 10_000,
     dedup_values: bool = True,
+    prefilter: bool = True,
+    chunk_field: int | None = None,
 ) -> DataFrame:
     """Weighted multi-field record pairs (Fellegi–Sunter-lite): within
     each block, pairs whose score = Σ wᵢ · levenshtein(fieldᵢ_a,
@@ -311,11 +414,27 @@ def weighted_link_pairs(
     ANSI-SQL oracle replays the plain score inequality. Literal weights
     keep every stage SQL-replayable (the x208 oracle idiom); weights
     chosen as binary-exact doubles (1.0, 0.5, 2.0 …) make the score
-    sum bit-stable across engines."""
+    sum bit-stable across engines.
+
+    ``chunk_field`` (r11) switches candidate GENERATION from the
+    quadratic within-block enumeration to the lossless PassJoin
+    chunk-signature equi-join on that field (:func:`_chunk_candidates`
+    — its per-field cap dᵢ = ⌊S/wᵢ⌋ is implied by score ≤ S, so every
+    qualifying pair is generated; the full score verifies after). Pick
+    the longest/most-selective capped field. Output is IDENTICAL
+    (hypothesis-tested against the brute force both ways); at sf0.1 the
+    x210 shape drops from 4.4M enumerated block pairs to
+    candidate-cardinality and ~2× wall. The ±d shift window and the
+    (d+1)-partition make the signature join's fan-out
+    (d+1)·(2d+1)² per probe record — constant, corpus-linear."""
     if len(fields) != len(weights):
         raise ValueError("fields and weights must align")
     if any(w < 0 for w in weights):
         raise ValueError("weights must be non-negative")
+    if chunk_field is not None and not (
+        0 <= chunk_field < len(weights) and weights[chunk_field] > 0
+    ):
+        raise ValueError("chunk_field must index a positive-weight field")
     blk = F.col(block_col) if isinstance(block_col, str) else block_col
     cols = [
         (F.col(f) if isinstance(f, str) else f).alias(f"f{i}")
@@ -329,32 +448,73 @@ def weighted_link_pairs(
     recs = (
         recs.join(sizes, "blk").filter(F.col("__n") <= max_block_size).drop("__n")
     )
+    # per-record field lengths computed ONCE before the self-join (r11):
+    # the length-difference guards fire on every candidate pair, and
+    # referencing precomputed ints beats re-evaluating length() twice
+    # per field per pair inside the join condition
+    recs = recs.select(
+        "*",
+        *[
+            F.length(F.coalesce(F.col(fn), F.lit(""))).alias(f"__len_{fn}")
+            for fn in fnames
+        ],
+    )
     l, r = recs.alias("l"), recs.alias("r")
     cond = (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id"))
     pairs = []
+    lens = []
     for w, fn in zip(weights, fnames):
         fl = F.coalesce(F.col(f"l.{fn}"), F.lit(""))
         fr = F.coalesce(F.col(f"r.{fn}"), F.lit(""))
         pairs.append((float(w), fl, fr))
+        lens.append((F.col(f"l.__len_{fn}"), F.col(f"r.__len_{fn}")))
     # guard order: all length-diff bounds first (two length() calls),
     # then banded levenshteins smallest-cap-first — the tightest cap is
     # both the cheapest DP band and usually the most selective conjunct
-    # (short-circuit AND kills most pairs on it)
-    guarded = sorted(
-        ((int(max_score // w), fl, fr) for w, fl, fr in pairs if w > 0),
-        key=lambda t: t[0],
-    )
-    # lossless prefilter pass 1: length-difference lower bound per field
-    for cap, fl, fr in guarded:
-        cond = cond & (F.abs(F.length(fl) - F.length(fr)) <= F.lit(cap))
-    # lossless prefilter pass 2: banded thresholded levenshtein per field
-    # (returns -1 above the threshold — never runs the full DP)
-    for cap, fl, fr in guarded:
-        cond = cond & (F.levenshtein(fl, fr, cap) >= 0)
+    # (short-circuit AND kills most pairs on it). ``prefilter=False``
+    # drops both lossless guards (the A/B spelling — identical output,
+    # every pair pays the full DP score).
+    if prefilter:
+        guarded = sorted(
+            (
+                (int(max_score // w), fl, fr, ll, lr)
+                for (w, fl, fr), (ll, lr) in zip(pairs, lens)
+                if w > 0
+            ),
+            key=lambda t: t[0],
+        )
+        # lossless prefilter pass 1: length-difference lower bound per
+        # field, over the precomputed per-record lengths
+        for cap, _fl, _fr, ll, lr in guarded:
+            cond = cond & (F.abs(ll - lr) <= F.lit(cap))
+        # lossless prefilter pass 2: banded thresholded levenshtein per
+        # field (returns -1 above the threshold — never runs the full DP)
+        for cap, fl, fr, _ll, _lr in guarded:
+            cond = cond & (F.levenshtein(fl, fr, cap) >= 0)
     score = None
     for w, fl, fr in pairs:
         term = F.lit(w) * F.levenshtein(fl, fr)
         score = term if score is None else score + term
+    if chunk_field is not None:
+        # PassJoin path: equi-join chunk signatures generate the
+        # candidates; the ORIGINAL full condition (block, order,
+        # guards, exact score) verifies them — so the output set is
+        # the same, only the enumeration strategy changed. Candidates
+        # are (least, greatest)-normalized, so id_a < id_b holds and
+        # cond's l.id < r.id conjunct is satisfied by joining l on
+        # id_a / r on id_b.
+        d = int(max_score // weights[chunk_field])
+        cands = _chunk_candidates(recs, fnames[chunk_field], d)
+        return (
+            cands.join(l, F.col("id_a") == F.col("l.id"))
+            .join(r, F.col("id_b") == F.col("r.id"))
+            .filter(cond & (score <= max_score))
+            .select(
+                "id_a",
+                "id_b",
+                score.cast("double").alias("score"),
+            )
+        )
     return (
         l.join(r, cond & (score <= max_score))
         .select(
@@ -370,6 +530,7 @@ def multi_pass_resolve(
     id_col: str,
     record_col: str | Column,
     pairs: list[DataFrame],
+    reps: DataFrame | None = None,
 ) -> DataFrame:
     """One entity id per record from the UNION of several candidate
     passes — the composed pipeline the linkage family exists for
@@ -388,19 +549,43 @@ def multi_pass_resolve(
     value-level union graph, never on clique members. Scale shape:
     one value-keyed shuffle for the rep map, candidate-cardinality
     joins to canonicalize, pointer-jumping components on the pair
-    graph only, and a final null-safe value-keyed re-attach (NULL
-    record values keep their row, as in :func:`resolve_entities`)."""
+    graph only, and a final value-keyed re-attach.
+
+    NULL record values are PER-RECORD SINGLETONS (ADVICE r10): missing
+    data is not evidence of identity, so a NULL-rec record keeps its
+    own id as its representative instead of fusing with every other
+    NULL-rec record (at corpus scale one NULL-heavy column would
+    silently merge millions of rows into one entity). Such records
+    still resolve into an entity when a pair set names their id
+    directly (canonicalization maps them to themselves).
+
+    ``reps`` (optional) is a precomputed ``(rec, rep)`` representative
+    map — min id per DISTINCT NON-NULL record value of ``df`` — for
+    callers that already materialized one (the x209 idiom: the same
+    localCheckpointed rep table feeds the LSH generator's
+    ``dedup_values=False`` path and this resolve, so the value-dedup
+    shuffle runs once per pipeline instead of once per stage). Must be
+    derived from the same ``df``/``record_col``; when omitted it is
+    computed here."""
     from dirty_js_etl_spark.operators.dedup import dup_clusters
 
     if not pairs:
         raise ValueError("multi_pass_resolve needs at least one pair set")
     rec = F.col(record_col) if isinstance(record_col, str) else record_col
     recs = df.select(F.col(id_col).alias("id"), rec.alias("rec"))
-    reps = recs.groupBy("rec").agg(F.min("id").alias("rep"))
+    if reps is None:
+        reps = (
+            recs.filter(F.col("rec").isNotNull())
+            .groupBy("rec")
+            .agg(F.min("id").alias("rep"))
+        )
     n, p = recs.alias("n"), reps.alias("p")
     id2rep = n.join(
-        p, F.col("n.rec").eqNullSafe(F.col("p.rec"))
-    ).select(F.col("n.id").alias("id"), F.col("p.rep").alias("rep"))
+        p, F.col("n.rec") == F.col("p.rec"), "left"
+    ).select(
+        F.col("n.id").alias("id"),
+        F.coalesce(F.col("p.rep"), F.col("n.id")).alias("rep"),
+    )
 
     allp = None
     for pr in pairs:
@@ -453,10 +638,13 @@ def resolve_entities(
     pairing is suppressed).
 
     NULL-safe: records whose record or block expression is NULL keep a
-    row in the output (ADVICE r09 — Spark's multi-column join is not
-    null-safe, so the value→record re-attach uses ``eqNullSafe``); a
-    NULL never pairs in the Levenshtein block join, so such records
-    resolve as value-level singletons."""
+    row in the output (ADVICE r09). A NULL RECORD value is a
+    PER-RECORD SINGLETON (ADVICE r10 — missing data is not evidence of
+    identity, and a NULL-heavy column must not fuse millions of rows
+    into one entity), so such records resolve to their own id. A NULL
+    BLOCK with a non-null record still collapses identical record
+    values (the value itself is the identity evidence; it just never
+    pairs across values, since NULL never matches the block join)."""
     from dirty_js_etl_spark.operators.dedup import dup_clusters
 
     rec = F.col(record_col) if isinstance(record_col, str) else record_col
@@ -468,19 +656,24 @@ def resolve_entities(
     recs = df.select(
         F.col(id_col).alias("id"), rec.alias("rec"), blk.alias("blk")
     )
-    reps = recs.groupBy("rec", "blk").agg(F.min("id").alias("rep"))
+    reps = (
+        recs.filter(F.col("rec").isNotNull())
+        .groupBy("rec", "blk")
+        .agg(F.min("id").alias("rep"))
+    )
     n, p = recs.alias("n"), reps.alias("p")
     return (
         n.join(
             p,
-            F.col("n.rec").eqNullSafe(F.col("p.rec"))
+            (F.col("n.rec") == F.col("p.rec"))
             & F.col("n.blk").eqNullSafe(F.col("p.blk")),
+            "left",
         )
         .join(
             clusters.withColumnRenamed("id", "rep"), "rep", "left"
         )
         .select(
             F.col("n.id").alias("id"),
-            F.coalesce("cluster_id", "rep").alias("entity_id"),
+            F.coalesce("cluster_id", "rep", F.col("n.id")).alias("entity_id"),
         )
     )

@@ -40,11 +40,20 @@ from pyspark.sql import functions as F
 
 # (name, pattern, placeholder) — conservative shared RE2/Java subset.
 # Order matters: emails carry dots and digits, so they redact first;
-# IPv4 before the phone-suffix pattern so digit runs inside an address
-# are already gone when the looser pattern runs.
+# IPv4 before the phone patterns so digit runs inside an address are
+# already gone when the looser patterns run; the FULL 3-3-4 phone form
+# before the 7-digit suffix form, so '555-123-4567' redacts whole
+# rather than leaving its last four digits — the most identifying
+# part — in the "scrubbed" output (ADVICE r10).
+#
+# These defaults are DEMO-GRADE: they exercise the plumbing and the
+# oracle replay, not a production PII taxonomy (no international formats, no
+# SSNs, no postal addresses). Real deployments must pass their own
+# vetted ``patterns`` list.
 DEFAULT_PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone_full", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
     ("phone", r"\b\d{3}[-.]\d{3,4}\b", "<PHONE>"),
 ]
 
@@ -90,9 +99,14 @@ def pii_redaction_sql(
     counts = []
     red = text_expr
     for name, pat, placeholder in pats:
+        # escape embedded single quotes so a user-supplied pattern or
+        # placeholder can't break (or shift the meaning of) the SQL
+        # string literal (ADVICE r10)
+        p = pat.replace("'", "''")
+        ph = placeholder.replace("'", "''")
         counts.append(
-            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS INT)"
+            f"CAST(len(regexp_extract_all({red}, '{p}')) AS INT)"
             f" AS n_{name}"
         )
-        red = f"regexp_replace({red}, '{pat}', '{placeholder}', 'g')"
+        red = f"regexp_replace({red}, '{p}', '{ph}', 'g')"
     return ", ".join(counts), red

@@ -142,10 +142,20 @@ def t_closeness(
     )
     cls = base.groupBy(*keys, "__s").agg(F.count(F.lit(1)).alias("__c"))
     sizes = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    # eqNullSafe per quasi-identifier key (ADVICE r10): a class whose
+    # key is NULL appears in sizes AND in cls, but a plain equi-join
+    # would never match the two, zero-filling __c and reporting a
+    # spuriously maximal EMD. __s is non-null by construction (filtered
+    # above), so plain equality is correct for it.
+    grid_l = (
+        sizes.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(tot)).alias("L")
+    )
+    cond = F.col("L.__s") == F.col("R.__s")
+    for kc in keys:
+        cond = cond & F.col(f"L.{kc}").eqNullSafe(F.col(f"R.{kc}"))
     grid = (
-        sizes.crossJoin(F.broadcast(g))
-        .crossJoin(F.broadcast(tot))
-        .join(cls, [*keys, "__s"], "left")
+        grid_l.join(cls.alias("R"), cond, "left")
+        .select("L.*", F.col("R.__c"))
         .fillna(0, ["__c"])
     )
     w = (

@@ -352,3 +352,139 @@ def hll_portable(
     return dense.crossJoin(F.broadcast(zint)).select(
         "register", "rho", est
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable bottom-k samples: the deterministic twins of the native KLL
+# quantile and theta set-op sketches (VERDICT r10 task 2 — every other
+# approximate family already has a bit-exact SQL-replayable twin: x6b
+# MinHash, x192 HLL, x149 CMS, x200 k-means, x201 IVF, x202 streaming).
+# ---------------------------------------------------------------------------
+
+
+def bottomk_rows(
+    df: DataFrame,
+    keys: list[str],
+    draw: Column,
+    k: int,
+    payload: list[str | Column],
+) -> DataFrame:
+    """The ``k`` rows with the smallest ``draw`` per key group — a
+    deterministic, MERGEABLE uniform row sample (bottom-k sampling):
+    because "k smallest of a union = k smallest of the per-part k
+    smallest", daily samples merge into weekly ones without touching
+    raw data again, the exact mergeability contract of a KLL sketch.
+
+    ``draw`` must be a hash that is UNIQUE per row (e.g.
+    ``portable_token_hash60`` of a unique row key) — uniqueness makes
+    the row_number total order, and therefore the sample, reproducible
+    by ANY engine (the md5 idiom; collisions would make rank ties
+    engine-ordered). ``payload`` entries are column names or
+    pre-aliased Column expressions. Returns (keys…, ``__draw``,
+    payload…).
+
+    Scale: one keys-keyed shuffle; each group buffers only its k
+    smallest draws after the window's rank filter (per-partition
+    pre-truncation to k rows per group comes free from AQE/codegen's
+    TopK when the window is rank-limited — Spark rewrites
+    row_number<=k over a window into a per-partition bounded sort)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in payload]
+    w = Window.partitionBy(*keys).orderBy("__draw")
+    return (
+        df.select(*keys, draw.alias("__draw"), *cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    keys: list[str],
+    value_col: str,
+    draw_col: str,
+    quantiles: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Empirical quantiles of a bottom-k sample, engine-portable: for
+    each (name, (q_num, q_den)) the estimate is the sample value at
+    ordinal ``ceil(q·ns)`` in (value, draw) order — the "lower"
+    empirical quantile, with the ordinal computed in INTEGER arithmetic
+    (``(q_num·ns + q_den − 1) div q_den``) so no float ever decides a
+    rank, and the draw as tiebreak so equal values rank identically on
+    every engine. Returns (keys…, ns, <name>…)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(value_col, draw_col)
+    ranked = sample.withColumn("__vrn", F.row_number().over(w)).withColumn(
+        "__ns", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    aggs = [F.max("__ns").cast("long").alias("ns")]
+    for name, (qn, qd) in quantiles.items():
+        ordinal = F.expr(f"({qn} * __ns + {qd - 1}) DIV {qd}")
+        aggs.append(
+            F.max(
+                F.when(F.col("__vrn") == F.greatest(ordinal, F.lit(1)),
+                       F.col(value_col))
+            ).alias(name)
+        )
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
+def kmv_table(
+    df: DataFrame,
+    keys: list[str],
+    member: Column,
+    k: int,
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002) as a
+    plain table: per key group, the ``k`` smallest DISTINCT 60-bit md5
+    hashes of ``member`` — the portable twin of a theta sketch (theta
+    IS KMV with θ = the k-th smallest normalized hash). Mergeable (k
+    smallest of a union = k smallest of the per-part samples' union)
+    and set-operable: intersections/Jaccard run on the hash samples.
+    Returns (keys…, h, rn) with rn = 1-based rank of h in the group.
+
+    Scale: the distinct pre-pass and the rank window share one
+    keys+hash shuffle shape; state per group is k longs regardless of
+    corpus size — the same bounded-state contract as the native
+    ``theta_sketch_agg``."""
+    from pyspark.sql import Window
+
+    from dirty_js_etl_spark.operators.dedup import portable_token_hash60
+
+    h = portable_token_hash60(member.cast("string"))
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        df.select(*keys, h.alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+_KMV_SPACE = float(1 << 60)  # the md5-60bit draw space
+
+
+def kmv_estimate(sketch: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_table` sample: when
+    the group saturates (ns = k) the unbiased KMV estimator
+    ``(k − 1) · 2^60 / h_k`` (h_k = the k-th smallest hash); when it
+    doesn't, the sample IS the distinct set and the count is EXACT.
+    One correctly-rounded double division of exactly-representable
+    integers — identical bits on every engine. Returns (keys…, ns,
+    est_distinct)."""
+    g = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("ns"), F.max("h").alias("__hk")
+    )
+    est = F.when(
+        F.col("ns") < k, F.col("ns").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("__hk"), 3
+        )
+        + 0.0
+    )
+    return g.select(*keys, F.col("ns").cast("long").alias("ns"),
+                    est.alias("est_distinct"))

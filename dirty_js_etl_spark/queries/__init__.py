@@ -50,6 +50,7 @@ from dirty_js_etl_spark.queries import (  # noqa: E402
     q15_kmeans,
     q16_linkage,
     q17_pii,
+    q18_portable_sketches,
 )
 
 # Hoist every query callable / helper defined by the domain modules so the
@@ -73,6 +74,7 @@ for _mod in (
     q15_kmeans,
     q16_linkage,
     q17_pii,
+    q18_portable_sketches,
 ):
     for _name, _val in vars(_mod).items():
         if _name.startswith("__"):

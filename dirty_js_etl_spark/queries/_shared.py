@@ -97,38 +97,36 @@ def register(name: str, oracle: str | None):
 _SENTINELS: list[str] = [
     # evergreen §2 canary
     "t5_merge_full",
-    # round 10: these queries' implementations changed (previously-green
+    # round 11: these queries' implementations changed (previously-green
     # driver rows verified the OLD spelling), so they re-lead the window
     # for a fresh driver row under the new one:
-    # - NEW: the composed multi-pass resolution (union of the three
-    #   candidate generators -> canonicalize -> components), the
-    #   flagship linkage capability, fully oracle-replayed
+    # - x209 now shares ONE localCheckpointed (id, rec, blocks) base and
+    #   ONE rec-level rep table across all three candidate generators
+    #   and the resolve (VERDICT r10 task 1), and multi_pass_resolve
+    #   treats NULL-rec records as per-record singletons (ADVICE r10)
     "x209_multi_pass_resolution",
-    # - NEW: weighted multi-field linkage scoring (Fellegi-Sunter-lite)
-    "x210_weighted_link_pairs",
-    # - NEW: PII detection + redaction (map-only regex scrub, md5-checked)
-    "x211_pii_redact",
-    # - x143's integer PageRank loop extracted into the reusable
-    #   operators/graph.py::pagerank_quantized (edges checkpointed once
-    #   with degree attached) — implementation changed, re-verify
-    "x143_pagerank",
-    # - NEW: t-closeness gate (integer-exact ordered EMD per class)
-    "x213_t_closeness",
-    # - resolve_entities' value->record re-attach went null-safe
-    #   (eqNullSafe; oracle moved to IS NOT DISTINCT FROM)
+    # - resolve_entities: NULL-rec records are per-record singletons
+    #   (ADVICE r10 — missing data is not identity evidence); oracle
+    #   re-attach moved to LEFT JOIN + COALESCE over non-null reps
     "x206_entity_resolution",
-    # - the x208 oracle was refactored into the shared _lsh_pair_ctes
-    #   (same SQL, new assembly) — re-verify under the driver
-    "x208_lsh_link_pairs",
-    # - the synthetic payload builders' ASCII guard gained the NULL
-    #   passthrough branch (plan change in every builder expression)
-    "x16_multimodal_decode",
-    "x203_audio_decode",
-    "x204_frame_sample_real",
-    # round 9 carry-overs (plans unchanged since their r09 green rows,
-    # kept one more round as the §2 linkage-family canaries)
+    # - t_closeness's grid join went null-safe per quasi-identifier key
+    #   (eqNullSafe / IS NOT DISTINCT FROM, ADVICE r10)
+    "x213_t_closeness",
+    # - DEFAULT_PII_PATTERNS gained the full 3-3-4 phone form ahead of
+    #   the 7-digit suffix form (ADVICE r10 under-redaction), new
+    #   n_phone_full count column on both sides
+    "x211_pii_redact",
+    # - ngram_jaccard_pairs' df cap is now weight-summed (record-level
+    #   document frequency under dedup_values, ADVICE r10) — the
+    #   default path's plan changed (sum(__w) window vs count(*))
+    "x5_ngram_jaccard_pairs",
+    "x42_cluster_canonical",
+    # round 10 carry-overs (plans unchanged since their r10 green rows,
+    # kept one more round as the linkage-family §2 canaries)
+    "x210_weighted_link_pairs",
     "x205_link_pairs",
     "x207_sorted_neighborhood",
+    "x208_lsh_link_pairs",
 ]
 
 

@@ -110,7 +110,11 @@ WITH base AS (
 ), grid AS (
   SELECT z.k1, z.k2, z.n, g.s, g.gc, coalesce(c.c, 0) AS c, t.tn, t.m
   FROM sizes z CROSS JOIN g CROSS JOIN tot t
-  LEFT JOIN cls c ON c.k1 = z.k1 AND c.k2 = z.k2 AND c.s = g.s
+  -- IS NOT DISTINCT FROM per quasi-identifier key (ADVICE r10): a
+  -- NULL-keyed class must match its own cls rows, mirroring the
+  -- engine's eqNullSafe grid join
+  LEFT JOIN cls c ON c.k1 IS NOT DISTINCT FROM z.k1
+                 AND c.k2 IS NOT DISTINCT FROM z.k2 AND c.s = g.s
 ), cums AS (
   SELECT k1, k2, n, tn, m,
          sum(c * tn - gc * n) OVER (PARTITION BY k1, k2 ORDER BY s

@@ -136,10 +136,17 @@ nodes AS (
   WHERE w.label < e.src
 ), clusters AS (
   SELECT id, min(label) AS entity_id FROM walk GROUP BY id
+), reps AS (
+  -- NULL-rec records are per-record singletons (ADVICE r10): the
+  -- representative map covers non-null record values only, and the
+  -- re-attach coalesces to the record's own id
+  SELECT min(p_partkey) AS p_partkey, rec, blk FROM c0
+  WHERE rec IS NOT NULL GROUP BY rec, blk
 )
-SELECT p.p_partkey AS id, COALESCE(cl.entity_id, r.p_partkey) AS entity_id
-FROM c0 p JOIN c r
-  ON p.rec IS NOT DISTINCT FROM r.rec AND p.blk IS NOT DISTINCT FROM r.blk
+SELECT p.p_partkey AS id,
+       COALESCE(cl.entity_id, r.p_partkey, p.p_partkey) AS entity_id
+FROM c0 p LEFT JOIN reps r
+  ON p.rec = r.rec AND p.blk IS NOT DISTINCT FROM r.blk
 LEFT JOIN clusters cl ON cl.id = r.p_partkey
 """,
 )
@@ -337,9 +344,12 @@ WITH RECURSIVE r0 AS (
    AND levenshtein(a.rec, b.rec) <= 3
 ), recs AS (
   SELECT min(id) AS id, rec FROM r0 GROUP BY rec
-), {_lsh_pair_ctes("recs")}, m AS (
-  SELECT r0.id, recs.id AS rep
-  FROM r0 JOIN recs ON r0.rec IS NOT DISTINCT FROM recs.rec
+), {_lsh_pair_ctes("recs")}, reps2 AS (
+  -- NULL-rec records are per-record singletons (ADVICE r10)
+  SELECT min(id) AS id, rec FROM r0 WHERE rec IS NOT NULL GROUP BY rec
+), m AS (
+  SELECT r0.id, COALESCE(reps2.id, r0.id) AS rep
+  FROM r0 LEFT JOIN reps2 ON r0.rec = reps2.rec
 ), allp AS (
   SELECT DISTINCT least(a.rep, b.rep) AS id_a,
                   greatest(a.rep, b.rep) AS id_b
@@ -377,9 +387,15 @@ def x209_multi_pass_resolution(spark, sf_dir):
     # typos in the sort prefix), LSH char-gram bands (catches both) —
     # canonicalize pair endpoints to record-value representatives, and
     # resolve one entity per record over the union match graph.
-    # Value-level throughout: the rep map is one value-keyed shuffle,
-    # canonicalization is candidate-cardinality, components run on the
-    # pair graph only, the final re-attach is null-safe.
+    # Value-level throughout, with SHARED materializations (VERDICT r10
+    # task 1): the (id, rec, blocks) projection localCheckpoints ONCE
+    # and feeds all three generators (no per-pass re-projection), and
+    # the rec-level rep table is computed ONCE — it IS the LSH
+    # generator's value-dedup (fed via dedup_values=False; identical by
+    # construction since lsh_link_pairs' own dedup is the same
+    # min-id-per-rec groupBy) AND multi_pass_resolve's rep map.
+    # Canonicalization stays candidate-cardinality, components run on
+    # the pair graph only, the final re-attach is null-safe.
     from dirty_js_etl_spark.operators.dedup import portable_token_hash60
     from dirty_js_etl_spark.operators.linkage import (
         blocked_link_pairs,
@@ -393,19 +409,40 @@ def x209_multi_pass_resolution(spark, sf_dir):
     blk5 = F.concat_ws(
         "|", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), F.col("p_brand")
     )
-    p5 = blocked_link_pairs(part, "p_partkey", rec, blk5, max_distance=2)
+    base = part.select(
+        F.col("p_partkey").alias("id"),
+        rec.alias("rec"),
+        blk5.alias("blk5"),
+        F.col("p_brand").alias("blk7"),
+    ).localCheckpoint(eager=True)
+    # min id per distinct non-null record value — rec is concat_ws
+    # (never NULL), the filter is the generic contract
+    recs = (
+        base.filter(F.col("rec").isNotNull())
+        .groupBy("rec")
+        .agg(F.min("id").alias("id"))
+        .localCheckpoint(eager=True)
+    )
+    p5 = blocked_link_pairs(base, "id", "rec", "blk5", max_distance=2)
     p7 = sorted_neighborhood_pairs(
-        part, "p_partkey", rec, F.col("p_brand"), window=6, max_distance=3
+        base, "id", "rec", "blk7", window=6, max_distance=3
     )
     p8 = lsh_link_pairs(
-        part,
-        "p_partkey",
-        rec,
+        recs,
+        "id",
+        "rec",
         max_distance=2,
         hash_fn=portable_token_hash60,
         portable_bands=True,
+        dedup_values=False,  # recs IS the value-dedup'd table
     )
-    return multi_pass_resolve(part, "p_partkey", rec, [p5, p7, p8])
+    return multi_pass_resolve(
+        base,
+        "id",
+        "rec",
+        [p5, p7, p8],
+        reps=recs.select("rec", F.col("id").alias("rep")),
+    )
 
 
 @register("x208_lsh_link_pairs", _x208_oracle_sql())

@@ -68,6 +68,7 @@ def x211_pii_redact(spark, sf_dir):
         "doc_id",
         "n_email",
         "n_ipv4",
+        "n_phone_full",
         "n_phone",
         F.md5("redacted").alias("redacted_md5"),
         F.length("redacted").cast("int").alias("redacted_len"),

@@ -126,6 +126,27 @@ def test_dup_clusters_long_chain_converges(spark):
     assert got.count() == 31
 
 
+def test_dup_clusters_both_physical_paths_agree(spark):
+    """r11 size-adaptive strategy: the single-task union-find (small
+    graphs) and the distributed min-label loop (small_graph_edges=0
+    forces it) must produce bit-identical labelings — chain, triangle,
+    pair, and a star all exercise union order and path compression."""
+    from dirty_js_etl_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+         (20, 21), (30, 31), (30, 32), (30, 33), (5, 1)],
+        "id_a bigint, id_b bigint",
+    )
+    small = {r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    big = {
+        r["id"]: r["cluster_id"]
+        for r in dup_clusters(pairs, small_graph_edges=0).collect()
+    }
+    assert small == big
+    assert small[5] == 1 and small[33] == 30
+
+
 def test_fuzzy_blocked_pairs_symmetric_free_and_thresholded(spark, catalog):
     from dirty_js_etl_spark.operators.dedup import fuzzy_blocked_pairs
 
@@ -347,17 +368,21 @@ def _ref_pairs(word_lists, threshold=0.5, cap=1000):
         max_size=10,
     ),
     threshold=st.sampled_from([0.3, 0.5, 0.8]),
+    cap=st.sampled_from([2, 3, 1000]),
 )
-def test_prefix_filter_is_lossless_vs_brute_force(spark, corpus, threshold):
+def test_prefix_filter_is_lossless_vs_brute_force(spark, corpus, threshold, cap):
     """Random tiny-vocab corpora maximize shingle collisions, ties in
     the (df, hash) prefix order, duplicate docs, and the small-pair
     α=1 edge where the ≥2 prefix-count filter must relax — the exact
-    regimes where a buggy prefix scheme silently drops pairs."""
+    regimes where a buggy prefix scheme silently drops pairs. The
+    small caps make max_shingle_df BIND on duplicate-heavy corpora
+    (ADVICE r10): document frequency must stay RECORD-level under
+    dedup_values, so both modes cap the same shingles."""
     df = spark.createDataFrame(
         [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
         "doc_id bigint, text string",
     )
-    exp = _ref_pairs(corpus, threshold)
+    exp = _ref_pairs(corpus, threshold, cap=cap)
     # both spellings must equal the brute force: the record-level path
     # AND the value-level dedup-then-pair path (r10 — whose cross/intra
     # expansion must reproduce identical-doc pairs, szc=0 drops, and
@@ -367,9 +392,10 @@ def test_prefix_filter_is_lossless_vs_brute_force(spark, corpus, threshold):
             (r.id_a, r.id_b): r.jaccard
             for r in ngram_jaccard_pairs(
                 df, "doc_id", "text", shingle_k=3,
-                jaccard_threshold=threshold, dedup_values=dedup_values,
+                jaccard_threshold=threshold, max_shingle_df=cap,
+                dedup_values=dedup_values,
             ).collect()
         }
-        assert set(got) == set(exp), dedup_values
+        assert set(got) == set(exp), (dedup_values, cap)
         for k in exp:
             assert abs(got[k] - exp[k]) < 1e-9

@@ -60,18 +60,23 @@ def test_resolution_is_transitive_and_keeps_singletons(spark):
 
 
 def test_resolution_keeps_null_valued_records(spark):
-    # ADVICE r09: the value->record re-attach join must be null-safe —
-    # a record whose record or block expression is NULL can never pair
-    # (NULL == NULL is NULL in the block join) but it must still get a
-    # row in the output, resolving to itself / its value representative.
+    # ADVICE r09: a record whose record or block expression is NULL can
+    # never pair (NULL == NULL is NULL in the block join) but it must
+    # still get a row in the output. ADVICE r10 sharpens the NULL-REC
+    # case: missing data is not evidence of identity, so NULL-rec
+    # records are PER-RECORD singletons — they must NOT fuse with each
+    # other (a NULL-heavy column would otherwise silently merge
+    # millions of rows into one entity). A NULL BLOCK with a non-null
+    # record still collapses identical record values.
     df = spark.createDataFrame(
         [
             (1, "acme corp", "a"),
             (2, "acme c0rp", "a"),
             (3, None, "a"),          # NULL record
             (4, "acme corp", None),  # NULL block
-            (5, None, None),         # both NULL, duplicate value below
-            (6, None, None),
+            (5, None, None),         # both NULL
+            (6, None, None),         # both NULL — NOT fused with #5
+            (7, "acme corp", None),  # identical (rec, NULL blk) as #4
         ],
         "id bigint, rec string, blk string",
     )
@@ -79,11 +84,37 @@ def test_resolution_keeps_null_valued_records(spark):
         r.id: r.entity_id
         for r in resolve_entities(df, "id", "rec", "blk").collect()
     }
-    assert len(ents) == 6  # no row silently dropped
+    assert len(ents) == 7  # no row silently dropped
     assert ents[1] == ents[2] == 1
-    assert ents[3] == 3 and ents[4] == 4
-    # identical NULL-valued records share their min-id representative
-    assert ents[5] == ents[6] == 5
+    assert ents[3] == 3
+    # NULL-rec records keep their own id — never merged on missing data
+    assert ents[5] == 5 and ents[6] == 6
+    # identical non-null record values under a NULL block co-resolve
+    assert ents[4] == ents[7] == 4
+
+
+def test_multi_pass_null_recs_stay_singletons(spark):
+    # ADVICE r10: multi_pass_resolve must not collapse all NULL-rec
+    # records into one entity — each keeps its own id unless a pair
+    # names it directly.
+    from dirty_js_etl_spark.operators.linkage import multi_pass_resolve
+
+    df = spark.createDataFrame(
+        [(1, "acme"), (2, "acme"), (3, None), (4, None)],
+        "id bigint, rec string",
+    )
+    pairs = spark.createDataFrame(
+        [(3, 1)], "id_a bigint, id_b bigint"
+    )
+    ents = {
+        r.id: r.entity_id
+        for r in multi_pass_resolve(df, "id", "rec", [pairs]).collect()
+    }
+    assert len(ents) == 4
+    # value clique co-resolves; the explicitly-paired NULL-rec record
+    # joins it; the unpaired NULL-rec record stays its own singleton
+    assert ents[1] == ents[2] == ents[3] == 1
+    assert ents[4] == 4
 
 
 def test_sorted_neighborhood_is_window_bounded(spark):
@@ -352,6 +383,17 @@ def test_weighted_pairs_equal_brute_force(spark, rows):
             df, "id", ["f0", "f1"], [1.0, 2.0], "blk", max_score=2.0
         ).collect()
     }
+    # the PassJoin chunk-signature strategy must emit the IDENTICAL set
+    # (r11): tiny strings force empty chunks, zero-length fields, and
+    # maximal shift windows — the edge regimes of the signature scheme
+    chunked = {
+        (r.id_a, r.id_b): r.score
+        for r in weighted_link_pairs(
+            df, "id", ["f0", "f1"], [1.0, 2.0], "blk", max_score=2.0,
+            chunk_field=0,
+        ).collect()
+    }
+    assert got == chunked
     # reference: value-dedup to min-id reps, then all rep pairs in-block
     reps = {}
     for i, t in enumerate(rows):

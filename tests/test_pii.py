@@ -40,9 +40,11 @@ def test_counts_and_placeholders(spark):
     assert got[1].redacted == "mail <EMAIL> and <EMAIL> now"
     assert got[2].n_ipv4 == 1
     assert got[2].redacted == "server at <IP> port 80"
-    # 555-0042 matches; "555-123-4567" scrubs its leading 555-123 run
-    assert got[3].n_phone == 2
-    assert got[3].redacted == "call <PHONE> or <PHONE>-4567"
+    # the full 3-3-4 number redacts WHOLE (ADVICE r10 — the suffix-only
+    # pattern used to leave '-4567' in the scrubbed output); 555-0042
+    # still matches the 7-digit suffix form
+    assert got[3].n_phone_full == 1 and got[3].n_phone == 1
+    assert got[3].redacted == "call <PHONE> or <PHONE>"
     assert got[4].n_email == got[4].n_ipv4 == got[4].n_phone == 0
     assert got[4].redacted == "clean text with no pii at all"
 
@@ -60,5 +62,21 @@ def test_counts_follow_replacement_order(spark):
         [(1, "at 192.168.100.1 ok")], "doc_id long, text string"
     )
     r = redact_pii(df, "text").collect()[0]
-    assert r.n_ipv4 == 1 and r.n_phone == 0
+    assert r.n_ipv4 == 1 and r.n_phone == 0 and r.n_phone_full == 0
     assert r.redacted == "at <IP> ok"
+
+
+def test_redaction_sql_escapes_quotes():
+    # ADVICE r10: a pattern/placeholder containing a single quote must
+    # produce a syntactically valid oracle string (doubled quotes)
+    import duckdb
+
+    from dirty_js_etl_spark.operators.pii import pii_redaction_sql
+
+    counts, red = pii_redaction_sql(
+        "t", [("quo", r"o'[a-z]+", "<O'NAME>")]
+    )
+    row = duckdb.sql(
+        f"SELECT {counts}, {red} AS red FROM (SELECT 'call o''brien' AS t)"
+    ).fetchone()
+    assert row == (1, "call <O'NAME>")

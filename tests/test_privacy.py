@@ -153,6 +153,24 @@ def test_t_closeness_hand_computed(spark):
     assert (got["D"].emd_num, got["D"].emd_den, got["D"].tclose) == (5, 7, False)
 
 
+def test_t_closeness_null_keyed_class(spark):
+    # ADVICE r10: a NULL quasi-identifier key forms its own class and
+    # must match its cls rows through the null-safe grid join — before
+    # the fix __c zero-filled and the class reported the maximal EMD.
+    # Global: s=0 x2, s=1 x2 (N=4, m=2). NULL class = {0, 1}: exactly
+    # global-shaped, so emd_num must be 0, not spuriously maximal.
+    from dirty_js_etl_spark.operators.privacy import t_closeness
+
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 1), (None, 0), (None, 1)], "k string, s int"
+    )
+    got = {r.k: r for r in t_closeness(df, ["k"], "s").collect()}
+    assert len(got) == 2
+    assert got[None].n == 2
+    assert got[None].emd_num == 0 and got[None].emd == 0.0 and got[None].tclose
+    assert got["A"].emd_num == 0 and got["A"].tclose
+
+
 def test_t_closeness_single_valued_domain(spark):
     # m = 1: every class trivially matches the global distribution
     from dirty_js_etl_spark.operators.privacy import t_closeness
