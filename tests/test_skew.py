@@ -149,3 +149,125 @@ def test_whale_key_bucketed_asof_equals_plain(spark):
     plain = asof_join(left, right, **kw)
     bucketed = asof_join_bucketed(left, right, bucket_seconds=3600, **kw)
     assert _sorted(bucketed.select(*plain.columns)) == _sorted(plain)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial-skew fixture (VERDICT r10 task 3, tools/make_skew_fixture.py):
+# one blocking key / join key holding ~10% of the corpus. These pin the
+# two claims SCALE.md makes about hot keys: the linkage hot-block caps
+# BIND before the quadratic, and AQE's skew-join split actually fires.
+# ---------------------------------------------------------------------------
+
+
+def test_skew_fixture_hot_fractions(catalog):
+    from tools.make_skew_fixture import (
+        HOT_CUSTKEY,
+        HOT_NOUN,
+        skew_orders,
+        skew_part,
+    )
+
+    so = skew_orders(catalog.read("orders"))
+    frac = so.filter(F.col("o_custkey") == HOT_CUSTKEY).count() / so.count()
+    assert 0.09 <= frac <= 0.12
+    sp = skew_part(catalog.read("part"))
+    noun = F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))
+    hfrac = sp.filter(noun == HOT_NOUN).count() / sp.count()
+    assert 0.09 <= hfrac <= 0.12
+
+
+def test_hot_block_cap_binds_on_skew_fixture(spark):
+    # the whale block holds 10% of all DISTINCT record values (the
+    # fixture part table can't host this shape — its record-value
+    # domain saturates at 384, see skew_records' docstring). The cap
+    # must drop the WHOLE whale block before its quadratic join term
+    # while every other block still pairs normally — surgical, not
+    # global. Measured at 100k records: uncapped 78 s / 8.2M pairs vs
+    # capped 18 s / 5.4M pairs (the delta is exactly the whale's
+    # 2k²-scale in-block term).
+    from dirty_js_etl_spark.operators.linkage import blocked_link_pairs
+    from tools.make_skew_fixture import skew_records
+
+    recs = skew_records(spark, 20_000)
+    hot_values = recs.filter(F.col("blk") == "hotblock").count()
+    assert hot_values == 2_000  # all recs distinct: values = rows
+    capped = blocked_link_pairs(
+        recs, "rid", "rec", "blk", max_distance=2, max_block_size=1000
+    )
+    got = capped.collect()
+    assert got, "non-hot blocks must still pair"
+    # every surviving pair avoids the whale block (ids ≡ 0 mod 10)
+    assert not any(r.id_a % 10 == 0 and r.id_b % 10 == 0 for r in got), (
+        "a whale-block pair survived the cap"
+    )
+    # and the whale block is the ONLY thing the cap removed: capped
+    # output == uncapped output minus in-whale pairs
+    uncapped = blocked_link_pairs(
+        recs, "rid", "rec", "blk", max_distance=2
+    ).filter(~((F.col("id_a") % 10 == 0) & (F.col("id_b") % 10 == 0)))
+    assert capped.count() == uncapped.count()
+
+
+def test_aqe_skew_split_fires_on_skewed_left_join(spark):
+    # SCALE.md claims AQE's skew-join split absorbs hot join keys on the
+    # non-broadcastable path; this pins it. The fact table is the
+    # skew_orders SHAPE (10% of rows on one FK) at the byte scale where
+    # the optimizer engages (2M rows × 64B payload — the sf0.1 orders
+    # fixture itself is only ~2MB shuffled, below AQE's internal
+    # minimums). Asserts the final adaptive plan carries the skew=true
+    # SortMergeJoin marker AND the split preserves exact results.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 == 0, F.lit(0))
+            .otherwise(F.col("id") % 20000)
+            .alias("k"),
+            F.concat(F.lit("x" * 48), F.col("id").cast("string")).alias("pay"),
+        )
+        dim = spark.range(20000).select(
+            F.col("id").alias("k"), F.col("id").alias("dv")
+        )
+        j = big.join(dim, "k", "left")
+        rows = j.count()
+        assert rows == 2_000_000  # left join over a unique dim: no fanout
+        j2 = big.join(dim, "k", "left").select("k", "dv")
+        j2.collect()
+        final = (
+            j2._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "skew=true" in final, final[:1500]
+        assert "skewed" in final  # the AQEShuffleRead skew split marker
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain_on_skew_fixture(catalog):
+    # the explicit mitigation for the same fixture: salting the skewed
+    # orders→customer join must change nothing about the result
+    from dirty_js_etl_spark.operators.skew import salted_join
+    from tools.make_skew_fixture import skew_orders
+
+    so = skew_orders(catalog.read("orders")).select("o_orderkey", "o_custkey")
+    cust = catalog.read("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = so.join(cust, "o_custkey", "left")
+    salted = salted_join(so, cust, "o_custkey", how="left")
+    assert _sorted(plain.select("o_orderkey", "o_custkey", "c_mktsegment")) == _sorted(
+        salted.select("o_orderkey", "o_custkey", "c_mktsegment")
+    )

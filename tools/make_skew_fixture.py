@@ -1,0 +1,113 @@
+"""Adversarially SKEWED variants of the driver fixtures (VERDICT r10
+task 3): the uniform 10×-replica scale audit (`tools/scale_audit.py`)
+catches super-linear growth, but nothing exercised a genuinely hot key —
+one merge/join key, linkage block, or band bucket holding ~10% of the
+corpus. These transforms plant exactly that, deterministically, so the
+hot-key guards can be asserted rather than assumed:
+
+- ``skew_part``: ~10% of ``part`` rows get the SAME linkage blocking
+  key (the p_name noun every block key derives from is rewritten to a
+  constant), making one block hold ~10% of all distinct record values —
+  the hot-block regime ``max_block_size`` exists for;
+- ``skew_orders``: ~10% of ``orders`` rows point at ONE customer
+  (o_custkey = hot key), making the customer join's hot hash partition
+  ~an order of magnitude above the median — the regime AQE's skew-join
+  split (and, for the non-broadcastable case, ``skew.salted_join``)
+  exists for.
+
+Usage (writes parquet variants next to nothing — OUT must be writable):
+
+    python tools/make_skew_fixture.py [SRC=/root/testdata/sf0.1] \
+        [OUT=/tmp/skewdata]
+
+Tests import the transforms directly (tests/test_skew.py) so the
+fixture shape is pinned in CI without materializing files; the CLI form
+exists for ad-hoc benching at other scales.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HOT_NOUN = "hotnoun"  # the planted blocking noun (word 2 of p_name)
+HOT_CUSTKEY = 1  # the planted hot FK target
+SKEW_MOD = 10  # 1-in-10 rows land on the hot key (~10%)
+
+
+def skew_part(part: DataFrame) -> DataFrame:
+    """~10% of parts share one blocking noun: word 2 of ``p_name`` is
+    rewritten to ``HOT_NOUN`` for ``p_partkey % SKEW_MOD == 0`` rows.
+    Records stay distinct (the other four words still vary), so the hot
+    block's DISTINCT-VALUE count — what the linkage caps bind on — is
+    ~10% of the table."""
+    words = F.split(F.col("p_name"), " ")
+    hot_name = F.concat_ws(
+        " ",
+        F.element_at(words, 1),
+        F.lit(HOT_NOUN),
+        F.slice(words, 3, 100),
+    )
+    return part.withColumn(
+        "p_name",
+        F.when(F.col("p_partkey") % SKEW_MOD == 0, hot_name).otherwise(
+            F.col("p_name")
+        ),
+    )
+
+
+def skew_records(spark, n_rows: int = 50_000) -> DataFrame:
+    """A synthetic linkage catalog with a DISTINCT-VALUE whale block:
+    every record string is unique (``item-<zero-padded id>``), ~10% of
+    them share one blocking key, the rest spread over 500 blocks. The
+    fixture `part` table cannot host this shape — its (p_name, p_type)
+    value domain saturates at 384 distinct values, so after value-level
+    dedup no block can exceed ~48 values no matter how rows are skewed;
+    the linkage caps bind on DISTINCT VALUES (r9), which is exactly
+    what this table makes hot. Returns (rid, rec, blk)."""
+    return spark.range(n_rows).select(
+        F.col("id").alias("rid"),
+        F.concat(
+            F.lit("item-"), F.lpad(F.col("id").cast("string"), 7, "0")
+        ).alias("rec"),
+        F.when(F.col("id") % SKEW_MOD == 0, F.lit("hotblock"))
+        .otherwise(
+            F.concat(F.lit("b"), (F.col("id") % 500).cast("string"))
+        )
+        .alias("blk"),
+    )
+
+
+def skew_orders(orders: DataFrame) -> DataFrame:
+    """~10% of orders point at customer ``HOT_CUSTKEY``: the hot hash
+    partition of any o_custkey-keyed shuffle holds ~10% of the fact
+    table while the median partition holds ~1/shuffle.partitions."""
+    return orders.withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % SKEW_MOD == 0, F.lit(HOT_CUSTKEY)
+        ).otherwise(F.col("o_custkey")),
+    )
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from dirty_js_etl_spark.session import get_spark
+
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewdata"
+    spark = get_spark("make-skew-fixture")
+    skew_part(spark.read.parquet(f"{src}/part.parquet")).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/part.parquet")
+    skew_orders(spark.read.parquet(f"{src}/orders.parquet")).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/orders.parquet")
+    print(f"wrote skewed part/orders variants of {src} to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
