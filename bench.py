@@ -95,6 +95,11 @@ HEADLINE = [
     "x211_pii_redact",
     "x143_pagerank",
     "x213_t_closeness",
+    # round 11: the portable sketch twins (bottom-k quantile rollup,
+    # KMV set ops) — cheap, but their rank-window shapes belong in the
+    # profile now that every approximate family has a twin
+    "x214_quantile_rollup_portable",
+    "x215_theta_overlap_portable",
 ]
 
 
