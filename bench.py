@@ -100,6 +100,10 @@ HEADLINE = [
     # profile now that every approximate family has a twin
     "x214_quantile_rollup_portable",
     "x215_theta_overlap_portable",
+    # round 11: the daily-ingest index-probe path (two bandings + probe
+    # join + verify — the heaviest new shape this round)
+    "x216_incremental_ingest_dedup",
+    "x217_quality_linear_scorer",
 ]
 
 

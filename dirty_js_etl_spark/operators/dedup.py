@@ -1324,3 +1324,118 @@ def incremental_minhash_pairs(
         jaccard_threshold,
     ).withColumn("against", F.lit("batch"))
     return cross.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: probe a persisted LSH index with a daily ingest
+# ---------------------------------------------------------------------------
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    hash_fn: Callable[[Column], Column] | None = None,
+    portable_bands: bool = False,
+) -> DataFrame:
+    """The DAILY-INGEST near-dup path: check new documents against an
+    EXISTING corpus without recomputing corpus pairs. The corpus's
+    ``(id, band, bucket)`` table (:func:`minhash_band_table`) is the
+    persisted index a production pipeline keeps partitioned by
+    (band, bucket); the ingest batch bands itself with the same
+    signature parameters, probes the index with ONE band+bucket
+    equi-join, and only the surviving candidates pay the exact
+    hashed-shingle Jaccard verify. Emits one decision row per matched
+    new doc: ``(new_id, dup_of, jaccard)`` with ``dup_of`` the
+    argmax-jaccard corpus doc (ties → min id) at
+    ``round(j, 6) >= jaccard_threshold``. New-vs-new duplicates inside
+    the ingest batch are a separate :func:`minhash_lsh_pairs` run —
+    this operator is the index-probe path.
+
+    Scale: the corpus is scanned to (re)build the index here for
+    self-containment; in production the index is READ, so per-ingest
+    cost is ingest-sized banding + a probe join whose corpus side is
+    index rows (bands × corpus, narrow), + candidate-cardinality
+    verify joins. The hot-bucket cap applies on the INDEX side (a
+    degenerate corpus bucket would make every probe quadratic — cap at
+    index build, exactly like the self-join pipelines). With
+    ``portable_token_hash60`` + ``portable_bands=True`` every stage is
+    ANSI-SQL-replayable (the x6b idiom), including the argmax: jaccards
+    are bit-identical, so the (jaccard DESC, id) rank order is too."""
+    from pyspark.sql import Window
+
+    hf = hash_fn or (lambda c: F.xxhash64(c))
+    idx = minhash_band_table(
+        corpus_docs, id_col, text_col, shingle_k=shingle_k,
+        num_perm=num_perm, bands=bands, seed=seed, hash_fn=hash_fn,
+        portable_bands=portable_bands,
+    )
+    ok = (
+        idx.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    kept = idx.join(ok, ["band", "bucket"]).withColumnRenamed("id", "old_id")
+    probe = minhash_band_table(
+        new_docs, id_col, text_col, shingle_k=shingle_k,
+        num_perm=num_perm, bands=bands, seed=seed, hash_fn=hash_fn,
+        portable_bands=portable_bands,
+    ).withColumnRenamed("id", "new_id")
+    cands = (
+        probe.join(kept, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g"),
+        ).select("id", hf(F.col("g")).alias("h"))
+
+    hn = hashed(new_docs)
+    hc = hashed(corpus_docs)
+    szn = hn.groupBy("id").agg(F.count(F.lit(1)).alias("szn"))
+    szc = hc.groupBy("id").agg(F.count(F.lit(1)).alias("szc"))
+    # candidate-cardinality verify: both joins are equi-keyed on
+    # (doc id, shingle hash) — the x6b intersection-count shape
+    hn2 = hn.select(F.col("id").alias("new_id"), F.col("h").alias("ha"))
+    hc2 = hc.select(F.col("id").alias("__oid"), F.col("h").alias("hb"))
+    inter = (
+        cands.join(hn2, "new_id")
+        .join(
+            hc2,
+            (F.col("old_id") == F.col("__oid"))
+            & (F.col("ha") == F.col("hb")),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    scored = (
+        inter.join(szn.withColumnRenamed("id", "new_id"), "new_id")
+        .join(szc.withColumnRenamed("id", "old_id"), "old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__i") / (F.col("szn") + F.col("szc") - F.col("__i")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("old_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", F.col("old_id").alias("dup_of"), "jaccard")
+    )

@@ -232,3 +232,95 @@ def compression_ratio_udf():
         return texts.map(one)
 
     return ratio
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality scorer (the fastText-style filter shape)
+# ---------------------------------------------------------------------------
+
+
+def hashed_linear_weights(n_buckets: int, seed: int) -> list[int]:
+    """Deterministic quantized weights for :func:`hashed_linear_score`:
+    integer in [-1000, 1000], derived from md5(f"{seed}_{bucket}") —
+    the stand-in for a TRAINED model's quantized weights. Generated
+    driver-side and embedded as plan literals (like the MinHash (a, b)
+    params), so any engine rebuilds the identical model from the seed.
+    In production, replace with real trained weights quantized the same
+    way (w_q = round(w * 1000))."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}_{b}".encode()).hexdigest()[:15], 16)
+        % 2001
+        - 1000
+        for b in range(n_buckets)
+    ]
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Linear text-quality classifier over HASHED bag-of-words features
+    (the fastText-supervised / quality-filter shape every LLM data
+    pipeline runs): each token hashes into one of ``n_buckets`` feature
+    buckets, the score is the weight sum over the token bag, and the
+    keep/drop decision is its sign. Returns
+    (id, n_tokens, score_num, score, keep) where ``score_num`` is the
+    EXACT integer weight sum, ``score`` = score_num / (1000·n_tokens)
+    is the length-normalized margin in [-1, 1] as ONE correctly-rounded
+    IEEE division (deliberately NOT re-rounded to decimals: quotients
+    of small integers land on exact decimal midpoints where Spark's
+    BigDecimal HALF_UP and DuckDB's binary rounding disagree — the raw
+    quotient is bit-identical on every engine), and ``keep`` =
+    score_num > 0.
+
+    The quantized-replay discipline (x200/x143): weights are integers,
+    the accumulation is an exact integer sum (order-independent), and
+    the only float op is one correctly-rounded division — so a SQL
+    oracle replays scores bit-for-bit, and the same property makes the
+    score REPRODUCIBLE across cluster sizes and shuffle orders (a
+    float-weight dot product would drift with partitioning; a data
+    filter that changes membership when the cluster resizes is a
+    training-data bug).
+
+    Scale: explode tokens → ONE map-side-combined groupBy(id) — the
+    weight lookup is `element_at` on a plan-literal array, evaluated
+    inside codegen; no UDF, no join, no second shuffle. Empty/NULL
+    texts yield n_tokens 0, score 0.0, keep false."""
+    from dirty_js_etl_spark.operators.dedup import portable_token_hash60
+
+    ws = hashed_linear_weights(n_buckets, seed)
+    warr = F.array(*[F.lit(w) for w in ws])
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("t"),
+    )
+    bucket = F.pmod(portable_token_hash60(F.col("t")), F.lit(n_buckets))
+    scored = (
+        tok.select(
+            "id",
+            F.when(
+                F.col("t").isNotNull() & (F.col("t") != ""),
+                F.element_at(warr, (bucket + 1).cast("int")),
+            ).alias("w"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("w").alias("n_tokens"),
+            F.coalesce(F.sum("w"), F.lit(0)).alias("score_num"),
+        )
+    )
+    return scored.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("score_num").cast("long").alias("score_num"),
+        F.when(F.col("n_tokens") > 0,
+               F.col("score_num") / (F.lit(1000.0) * F.col("n_tokens")))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+        (F.col("score_num") > 0).alias("keep"),
+    )

@@ -1501,3 +1501,169 @@ def x51_pii_redact(spark, sf_dir):
     return pii_report(cust, "c_custkey", text)
 
 
+
+
+def _x216_band_ctes(prefix: str, src: str, num_perm: int, bands: int,
+                    seed: int) -> str:
+    """The words→shingles→hashes→signature→band chain for one side of
+    the incremental probe (shared spelling with the x6b replay)."""
+    from dirty_js_etl_spark.operators.dedup import _P, _hash_params
+
+    rows = num_perm // bands
+    params = _hash_params(num_perm, seed)
+    mins = ",\n         ".join(
+        f"min(({a} * hp + {b}) % {_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_sel = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, CAST('0x' || substring(md5("
+        f"concat_ws('_', {', '.join(f'm{j * rows + i}' for i in range(rows))}"
+        f")), 1, 15) AS BIGINT) AS bucket FROM {prefix}sigs"
+        for j in range(bands)
+    )
+    return f"""{prefix}words AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+  FROM {src}
+), {prefix}sh AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3 + 1, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM {prefix}words
+), {prefix}hashed AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) AS h60,
+         CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % {_P} AS hp
+  FROM {prefix}sh
+), {prefix}sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM {prefix}hashed GROUP BY doc_id
+), {prefix}band AS (
+  {band_sel}
+)"""
+
+
+def _x216_oracle_sql(num_perm: int = 32, bands: int = 8, cap: int = 1000,
+                     seed: int = 42) -> str:
+    c = _x216_band_ctes("c", "corpus", num_perm, bands, seed)
+    i = _x216_band_ctes("i", "ingest", num_perm, bands, seed)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+), ingest AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+), {c}, {i}, ok AS (
+  SELECT band, bucket FROM cband GROUP BY 1, 2 HAVING count(*) <= {cap}
+), ckept AS (
+  SELECT b.* FROM cband b JOIN ok USING (band, bucket)
+), cands AS (
+  SELECT DISTINCT i.doc_id AS new_id, c.doc_id AS old_id
+  FROM iband i JOIN ckept c USING (band, bucket)
+), szn AS (
+  SELECT doc_id, count(*) AS szn FROM ihashed GROUP BY doc_id
+), szc AS (
+  SELECT doc_id, count(*) AS szc FROM chashed GROUP BY doc_id
+), inter AS (
+  SELECT cd.new_id, cd.old_id, count(*) AS i
+  FROM cands cd
+  JOIN ihashed ha ON ha.doc_id = cd.new_id
+  JOIN chashed hb ON hb.doc_id = cd.old_id AND hb.h60 = ha.h60
+  GROUP BY 1, 2
+), scored AS (
+  SELECT new_id, old_id,
+         round(i / CAST(sa.szn + sb.szc - i AS DOUBLE), 6) AS jaccard
+  FROM inter
+  JOIN szn sa ON sa.doc_id = new_id
+  JOIN szc sb ON sb.doc_id = old_id
+)
+SELECT new_id, old_id AS dup_of, jaccard FROM (
+  SELECT new_id, old_id, jaccard,
+         row_number() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, old_id) AS rn
+  FROM scored WHERE jaccard >= 0.5
+) WHERE rn = 1
+"""
+
+
+@register("x216_incremental_ingest_dedup", _x216_oracle_sql())
+def x216_incremental_ingest_dedup(spark, sf_dir):
+    # the PRODUCTION daily-ingest pattern the persisted LSH index exists
+    # for (minhash_band_table's docstring): the corpus's (id, band,
+    # bucket) table is built once (in production: read), the new batch
+    # bands itself with the same seeded signature family and probes the
+    # index with one equi-join, and only candidates pay the exact
+    # hashed-shingle Jaccard verify — per-ingest cost is ingest-sized,
+    # never corpus-pairs-sized. One argmax decision row per matched new
+    # doc (ties -> min corpus id). Portable hashes make every stage —
+    # signatures, buckets, cap, candidates, jaccards, the rank order —
+    # oracle-recomputable (the x6b idiom).
+    from dirty_js_etl_spark.operators.dedup import (
+        incremental_near_dup,
+        portable_token_hash60,
+    )
+
+    docs = _cat(spark, sf_dir).read("documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    ingest = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_near_dup(
+        ingest,
+        corpus,
+        "doc_id",
+        "text",
+        num_perm=32,
+        bands=8,
+        jaccard_threshold=0.5,
+        hash_fn=portable_token_hash60,
+        portable_bands=True,
+    )
+
+
+def _x217_oracle_sql(n_buckets: int = 64, seed: int = 42) -> str:
+    from dirty_js_etl_spark.operators.text import hashed_linear_weights
+
+    ws = hashed_linear_weights(n_buckets, seed)
+    vals = ", ".join(f"({b}, {w})" for b, w in enumerate(ws))
+    return f"""
+WITH w(b, wt) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, UNNEST(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents
+), bk AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % {n_buckets} AS b
+  FROM tok WHERE t IS NOT NULL AND t <> ''
+), s AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(wt) AS score_num
+  FROM bk JOIN w USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.score_num, 0) AS BIGINT) AS score_num,
+       CASE WHEN coalesce(s.n_tokens, 0) > 0
+            THEN CAST(s.score_num AS DOUBLE)
+                 / (CAST(1000 AS DOUBLE) * CAST(s.n_tokens AS DOUBLE))
+            ELSE 0.0 END AS score,
+       coalesce(s.score_num, 0) > 0 AS keep
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+
+@register("x217_quality_linear_scorer", _x217_oracle_sql())
+def x217_quality_linear_scorer(spark, sf_dir):
+    # the fastText-style quality FILTER every LLM data pipeline runs
+    # before training: hashed bag-of-words features x quantized linear
+    # weights -> keep/drop by the margin's sign. Weights are integers
+    # (seed-derived here, standing in for a trained model quantized the
+    # same way), the accumulation is an exact integer sum — so the score
+    # is bit-reproducible across engines AND across cluster sizes /
+    # shuffle orders (a float dot product would drift with partitioning;
+    # a filter whose membership changes when the cluster resizes is a
+    # training-data bug). One explode + one map-side-combined groupBy;
+    # the weight lookup is element_at on a plan-literal array inside
+    # codegen — no UDF, no join on the corpus side.
+    from dirty_js_etl_spark.operators.text import hashed_linear_score
+
+    docs = _cat(spark, sf_dir).read("documents")
+    return hashed_linear_score(docs, "doc_id", "text", n_buckets=64, seed=42)

@@ -399,3 +399,63 @@ def test_prefix_filter_is_lossless_vs_brute_force(spark, corpus, threshold, cap)
         assert set(got) == set(exp), (dedup_values, cap)
         for k in exp:
             assert abs(got[k] - exp[k]) < 1e-9
+
+
+def test_incremental_ingest_matches_and_skips(spark):
+    """x216 semantics: a near-copy in the ingest maps to its corpus
+    original (argmax jaccard, ties -> min id), an exact copy maps at
+    jaccard 1.0, a novel doc emits no row, and the decision never
+    pairs ingest docs with each other (index-probe only)."""
+    from dirty_js_etl_spark.operators.dedup import incremental_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "sleepy")),
+            (3, "completely different corpus text about spark engines"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ingest = spark.createDataFrame(
+        [
+            (100, base),  # exact copy of 1
+            (101, base.replace("dog", "cat")),  # near-copy
+            (102, "utterly novel ingest document with no relatives"),
+            (103, base),  # second exact copy: must also map to 1
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.new_id: (r.dup_of, r.jaccard)
+        for r in incremental_near_dup(
+            ingest, corpus, "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got[100] == (1, 1.0)
+    assert got[103] == (1, 1.0)
+    assert got[101][0] == 1 and 0.5 <= got[101][1] < 1.0
+    assert 102 not in got
+    assert set(got) == {100, 101, 103}
+
+
+def test_incremental_ingest_hot_index_bucket_capped(spark):
+    """A degenerate corpus bucket (many identical corpus docs) is
+    dropped at the index, so probes of it emit nothing — the cap
+    guards the probe join exactly like the self-join pipelines."""
+    from dirty_js_etl_spark.operators.dedup import incremental_near_dup
+
+    corpus = spark.createDataFrame(
+        [(i, "same corpus boilerplate text everywhere") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    ingest = spark.createDataFrame(
+        [(100, "same corpus boilerplate text everywhere")],
+        "doc_id bigint, text string",
+    )
+    capped = incremental_near_dup(
+        ingest, corpus, "doc_id", "text", max_bucket_size=10
+    )
+    assert capped.count() == 0
+    uncapped = incremental_near_dup(ingest, corpus, "doc_id", "text")
+    assert {r.dup_of for r in uncapped.collect()} == {0}

@@ -160,3 +160,52 @@ def test_x135_golden_table_sf0001(spark):
         import pytest
 
         pytest.skip(f"golden pinned for zlib 1.2.13, got {zlib.ZLIB_RUNTIME_VERSION}")
+
+
+def test_hashed_linear_score_semantics(spark):
+    # exact integer accumulation, normalized margin, sign decision,
+    # NULL/empty passthrough (x217)
+    from dirty_js_etl_spark.operators.text import (
+        hashed_linear_score,
+        hashed_linear_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None), (4, "alpha")],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: r for r in hashed_linear_score(df, "doc_id", "text").collect()}
+    assert len(got) == 4
+    # duplicate tokens count multiply (bag of words): score_num(1) =
+    # 2*w(alpha) + w(beta); doc 4 = w(alpha)
+    import hashlib
+
+    ws = hashed_linear_weights(64, 42)
+
+    def w(tok):
+        return ws[int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64]
+
+    assert got[4].score_num == w("alpha") and got[4].n_tokens == 1
+    assert got[1].score_num == 2 * w("alpha") + w("beta")
+    assert got[1].n_tokens == 3
+    assert got[1].keep == (got[1].score_num > 0)
+    assert got[1].score == got[1].score_num / 3000.0
+    for d in (2, 3):
+        assert got[d].n_tokens == 0 and got[d].score == 0.0 and not got[d].keep
+
+
+def test_hashed_linear_score_is_partitioning_invariant(spark):
+    # the quantized-replay property the docstring claims: identical
+    # scores regardless of partitioning (integer sums are
+    # order-independent; float dot products would not be)
+    from dirty_js_etl_spark.operators.text import hashed_linear_score
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} tok{i % 11} filler words here")
+            for i in range(200)]
+    a = spark.createDataFrame(rows, "doc_id bigint, text string")
+    b = a.repartition(17)
+    ra = {r.id: (r.score_num, r.score) for r in
+          hashed_linear_score(a, "doc_id", "text").collect()}
+    rb = {r.id: (r.score_num, r.score) for r in
+          hashed_linear_score(b, "doc_id", "text").collect()}
+    assert ra == rb
