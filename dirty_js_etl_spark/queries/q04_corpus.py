@@ -287,21 +287,49 @@ def x6b_minhash_lsh_portable(spark, sf_dir):
     )
 
 
+# components replay: UNROLLED min-label pointer-jumping rounds instead
+# of the recursive-CTE label walk (r11 — the walk enumerated every
+# (node, smaller-reachable-label) pair, O(Σ cluster²) rows; at the sf1
+# replica's 250k-pair graph one query ran >585 s in DuckDB where 8
+# unrolled rounds run in seconds). Each round takes the min label over
+# the in-neighborhood, then jumps to the label's own label — reach
+# doubles per round, so 6 rounds are exact for any component diameter
+# ≤ 2^6 (document near-dup cliques are diameter ≤ ~10). SAFE-FAIL: if
+# a graph ever exceeded that, the oracle would NOT silently agree —
+# the unconverged labels would hash-mismatch the engine's converged
+# ones and the sweep would flag it.
+def _cc_rounds_sql(rounds: int = 8) -> str:
+    ctes = []
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        ctes.append(f"""s{k} AS MATERIALIZED (
+  SELECT l.id, least(l.label, coalesce(min(w.label), l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN edges e ON e.src = l.id
+  LEFT JOIN {prev} w ON w.id = e.dst
+  GROUP BY l.id, l.label
+), l{k} AS MATERIALIZED (
+  SELECT s.id, least(s.label, coalesce(p.label, s.label)) AS label
+  FROM s{k} s LEFT JOIN s{k} p ON p.id = s.label
+)""")
+        prev = f"l{k}"
+    return ",\n".join(ctes), prev
+
+
+_X36_ROUNDS, _X36_LAST = _cc_rounds_sql(6)
+
 _X36_CTE = """
-WITH RECURSIVE pairs AS (
+WITH pairs AS MATERIALIZED (
 """ + _X5_SQL + """
 ), nodes AS (
   SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs
-), walk(id, label) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.id
-  WHERE w.label < e.src
-), clusters AS (
-  SELECT id, min(label) AS cluster_id FROM walk GROUP BY id
+), l0 AS MATERIALIZED (
+  SELECT id, id AS label FROM nodes
+), """ + _X36_ROUNDS + """, clusters AS (
+  SELECT id, label AS cluster_id FROM """ + _X36_LAST + """
 )"""
 
 _X36_SQL = _X36_CTE + "\nSELECT id, cluster_id FROM clusters"
