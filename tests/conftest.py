@@ -22,6 +22,8 @@ def catalog(spark):
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    # keep DuckDB spill outside the worktree (default is cwd-relative .tmp/)
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     for t in FIXTURE_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con

@@ -116,6 +116,9 @@ def main() -> int:
 
     spark = get_bare_spark() if bare else get_spark("oracle-check")
     con = duckdb.connect()
+    # Spill outside the worktree: the default temp_directory is cwd-relative
+    # (.tmp/), and a large sweep once committed a 2.1 GB spill file into git.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     for t in FIXTURE_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -72,6 +72,8 @@ RULES: dict[str, dict[str, str]] = {
 def main(out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    # keep DuckDB spill outside the worktree (default is cwd-relative .tmp/)
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
     for table, rule in RULES.items():
         src = f"{SRC}/{table}.parquet"
         dst = f"{out_dir}/{table}.parquet"
