@@ -100,11 +100,69 @@ HEADLINE = [
     # profile now that every approximate family has a twin
     "x214_quantile_rollup_portable",
     "x215_theta_overlap_portable",
-    # round 11: the daily-ingest index-probe path (two bandings + probe
-    # join + verify — the heaviest new shape this round)
-    "x216_incremental_ingest_dedup",
+    # round 11/12: the daily-ingest index-probe path. The driver's
+    # registry query (x216_incremental_ingest_dedup) rebuilds the
+    # corpus index in-query for oracle self-containment; in production
+    # the index is PERSISTED and each ingest pays only the probe, so
+    # the headline times that path (VERDICT r11 task 4): the index is
+    # written to parquet once, untimed, and the timed plan reads it.
+    "x216_ingest_probe",
     "x217_quality_linear_scorer",
 ]
+
+
+_X216_INDEX_DIR = "/tmp/spark_graft_bench_x216_index"
+
+
+def _prep_x216_index(spark, sf_dir: str) -> None:
+    """Fixture prep for x216_ingest_probe: build the corpus near-dup
+    index ONCE (exactly x216's parameters) and persist it as parquet —
+    the table layout a production pipeline keeps between ingests."""
+    from pyspark.sql import functions as F
+
+    from dirty_js_etl_spark.operators.dedup import (
+        build_near_dup_index,
+        portable_token_hash60,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = build_near_dup_index(
+        corpus, "doc_id", "text", num_perm=32, bands=8,
+        hash_fn=portable_token_hash60, portable_bands=True,
+    )
+    idx.band_index.write.mode("overwrite").parquet(
+        f"{_X216_INDEX_DIR}/band_index"
+    )
+    idx.hashed.write.mode("overwrite").parquet(f"{_X216_INDEX_DIR}/hashed")
+    idx.sizes.write.mode("overwrite").parquet(f"{_X216_INDEX_DIR}/sizes")
+
+
+def _x216_ingest_probe(spark, sf_dir: str):
+    """Probe-only x216: band the ingest batch and probe the PREBUILT
+    parquet index (written by :func:`_prep_x216_index`) — per-ingest
+    cost as production pays it. Same output as the registry query."""
+    from pyspark.sql import functions as F
+
+    from dirty_js_etl_spark.operators.dedup import (
+        NearDupIndex,
+        portable_token_hash60,
+        probe_near_dup_index,
+    )
+
+    index = NearDupIndex(
+        band_index=spark.read.parquet(f"{_X216_INDEX_DIR}/band_index"),
+        hashed=spark.read.parquet(f"{_X216_INDEX_DIR}/hashed"),
+        sizes=spark.read.parquet(f"{_X216_INDEX_DIR}/sizes"),
+    )
+    ingest = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return probe_near_dup_index(
+        ingest, index, "doc_id", "text", num_perm=32, bands=8,
+        jaccard_threshold=0.5, hash_fn=portable_token_hash60,
+        portable_bands=True,
+    )
 
 
 def main() -> None:
@@ -113,11 +171,14 @@ def main() -> None:
     raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = raw[: next((i for i, c in enumerate(raw) if c not in "0123456789."), len(raw))]
     spark = get_spark("bench")
-    qs = all_queries()
+    qs = dict(all_queries())
+    qs["x216_ingest_probe"] = _x216_ingest_probe
     names = [n for n in HEADLINE if n in qs]
     extra = os.environ.get("BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in qs]
+    if "x216_ingest_probe" in names:
+        _prep_x216_index(spark, sf_dir)  # untimed: production builds once
 
     # warmup: prime JVM, codegen, parquet footers
     for n in names[:1]:

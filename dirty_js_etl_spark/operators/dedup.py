@@ -26,6 +26,7 @@ Scale design (the point of each choice):
 from __future__ import annotations
 
 from collections.abc import Callable
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -750,7 +751,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
-    small_graph_edges: int = 5_000_000,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, cluster_id) with
     cluster_id = min member id — the keep-one-per-cluster dedup step
@@ -773,8 +774,13 @@ def dup_clusters(
     instead of O(log d) iterations of join+checkpoint+check jobs whose
     cost on a small match graph is pure scheduler floor (x209's
     component stage was ~5 s of job floor for a 4.4k-edge graph at
-    sf0.1). Above the threshold the distributed min-label loop runs
-    unchanged — at 100 TB a pair graph can be billions of edges (the
+    sf0.1). The default threshold is sized to the single task's MEMORY,
+    not to when the distributed loop gets competitive: 1M bidirectional
+    edges is a ~16 MB Arrow batch plus a Python dict union-find of at
+    most 1M entries (~100 B+/entry ≈ 100 MB) — comfortable inside a
+    default executor, where a 5M default could straggle or OOM right at
+    the threshold. Above the threshold the distributed min-label loop
+    runs unchanged — at 100 TB a pair graph can be billions of edges (the
     caps bound per-block work, not the total), and nothing here ever
     collects to the driver. Output is bit-identical either way
     (union-by-min-root ≡ converged min-label propagation; both label a
@@ -1331,6 +1337,139 @@ def incremental_minhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+class NearDupIndex(NamedTuple):
+    """The three tables a production pipeline PERSISTS (partitioned by
+    band/bucket resp. bucketed by id) so daily ingests never touch the
+    corpus text again: the hot-bucket-capped band index, the per-doc
+    shingle-hash posting table (the verify side), and the per-doc
+    shingle-set sizes. Built once by :func:`build_near_dup_index`;
+    every probe (:func:`probe_near_dup_index`) is ingest-sized."""
+
+    band_index: DataFrame  # (old_id, band, bucket), cap already applied
+    hashed: DataFrame      # (old_id, h) corpus shingle hashes
+    sizes: DataFrame       # (old_id, szc)
+
+
+def build_near_dup_index(
+    corpus_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    hash_fn: Callable[[Column], Column] | None = None,
+    portable_bands: bool = False,
+) -> NearDupIndex:
+    """Build the persisted near-dup index for a curated corpus — the
+    ONCE-per-corpus half of :func:`incremental_near_dup`. The hot-bucket
+    cap is applied HERE, at index build (a degenerate corpus bucket
+    would otherwise make every future probe quadratic); the posting and
+    size tables serve the exact-Jaccard verify so probes never re-read
+    corpus text. At 100 TB the band index is bands × corpus narrow rows
+    and the posting table is one long per shingle — both a small
+    fraction of the text they index, written once, read per-ingest."""
+    hf = hash_fn or (lambda c: F.xxhash64(c))
+    idx = minhash_band_table(
+        corpus_docs, id_col, text_col, shingle_k=shingle_k,
+        num_perm=num_perm, bands=bands, seed=seed, hash_fn=hash_fn,
+        portable_bands=portable_bands,
+    )
+    ok = (
+        idx.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    kept = idx.join(ok, ["band", "bucket"]).withColumnRenamed("id", "old_id")
+    hc = corpus_docs.select(
+        F.col(id_col).alias("old_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g"),
+    ).select("old_id", hf(F.col("g")).alias("h"))
+    szc = hc.groupBy("old_id").agg(F.count(F.lit(1)).alias("szc"))
+    return NearDupIndex(band_index=kept, hashed=hc, sizes=szc)
+
+
+def probe_near_dup_index(
+    new_docs: DataFrame,
+    index: NearDupIndex,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    hash_fn: Callable[[Column], Column] | None = None,
+    portable_bands: bool = False,
+) -> DataFrame:
+    """The PER-INGEST half of :func:`incremental_near_dup`: band the new
+    batch with the same seeded signature family, probe the persisted
+    index with one band+bucket equi-join, and pay the exact
+    hashed-shingle Jaccard verify only on surviving candidates. All
+    signature parameters (shingle_k/num_perm/bands/seed/hash_fn) MUST
+    match the index build. Cost is ingest-sized banding + a probe join
+    whose corpus side is index rows + candidate-cardinality verify
+    joins — never corpus-pairs-sized. Output contract is identical to
+    :func:`incremental_near_dup` (one argmax decision row per matched
+    new doc)."""
+    from pyspark.sql import Window
+
+    hf = hash_fn or (lambda c: F.xxhash64(c))
+    probe = minhash_band_table(
+        new_docs, id_col, text_col, shingle_k=shingle_k,
+        num_perm=num_perm, bands=bands, seed=seed, hash_fn=hash_fn,
+        portable_bands=portable_bands,
+    ).withColumnRenamed("id", "new_id")
+    cands = (
+        probe.join(index.band_index, ["band", "bucket"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    hn = new_docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g"),
+    ).select("id", hf(F.col("g")).alias("h"))
+    szn = hn.groupBy("id").agg(F.count(F.lit(1)).alias("szn"))
+    # candidate-cardinality verify: both joins are equi-keyed on
+    # (doc id, shingle hash) — the x6b intersection-count shape
+    hn2 = hn.select(F.col("id").alias("new_id"), F.col("h").alias("ha"))
+    hc2 = index.hashed.select(
+        F.col("old_id").alias("__oid"), F.col("h").alias("hb")
+    )
+    inter = (
+        cands.join(hn2, "new_id")
+        .join(
+            hc2,
+            (F.col("old_id") == F.col("__oid"))
+            & (F.col("ha") == F.col("hb")),
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    scored = (
+        inter.join(szn.withColumnRenamed("id", "new_id"), "new_id")
+        .join(index.sizes, "old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__i") / (F.col("szn") + F.col("szc") - F.col("__i")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), F.col("old_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("new_id", F.col("old_id").alias("dup_of"), "jaccard")
+    )
+
+
 def incremental_near_dup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -1368,74 +1507,23 @@ def incremental_near_dup(
     index build, exactly like the self-join pipelines). With
     ``portable_token_hash60`` + ``portable_bands=True`` every stage is
     ANSI-SQL-replayable (the x6b idiom), including the argmax: jaccards
-    are bit-identical, so the (jaccard DESC, id) rank order is too."""
-    from pyspark.sql import Window
+    are bit-identical, so the (jaccard DESC, id) rank order is too.
 
-    hf = hash_fn or (lambda c: F.xxhash64(c))
-    idx = minhash_band_table(
+    This is exactly :func:`build_near_dup_index` composed with
+    :func:`probe_near_dup_index` — kept as one self-contained call so
+    the driver's oracle can replay corpus + ingest from the same raw
+    table; production (and ``bench.py``'s probe-only entry) uses the
+    two halves so the index is built once and every ingest pays only
+    the probe."""
+    index = build_near_dup_index(
         corpus_docs, id_col, text_col, shingle_k=shingle_k,
-        num_perm=num_perm, bands=bands, seed=seed, hash_fn=hash_fn,
+        num_perm=num_perm, bands=bands, seed=seed,
+        max_bucket_size=max_bucket_size, hash_fn=hash_fn,
         portable_bands=portable_bands,
     )
-    ok = (
-        idx.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= max_bucket_size)
-        .select("band", "bucket")
-    )
-    kept = idx.join(ok, ["band", "bucket"]).withColumnRenamed("id", "old_id")
-    probe = minhash_band_table(
-        new_docs, id_col, text_col, shingle_k=shingle_k,
-        num_perm=num_perm, bands=bands, seed=seed, hash_fn=hash_fn,
+    return probe_near_dup_index(
+        new_docs, index, id_col, text_col, shingle_k=shingle_k,
+        num_perm=num_perm, bands=bands,
+        jaccard_threshold=jaccard_threshold, seed=seed, hash_fn=hash_fn,
         portable_bands=portable_bands,
-    ).withColumnRenamed("id", "new_id")
-    cands = (
-        probe.join(kept, ["band", "bucket"])
-        .select("new_id", "old_id")
-        .distinct()
-    )
-
-    def hashed(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g"),
-        ).select("id", hf(F.col("g")).alias("h"))
-
-    hn = hashed(new_docs)
-    hc = hashed(corpus_docs)
-    szn = hn.groupBy("id").agg(F.count(F.lit(1)).alias("szn"))
-    szc = hc.groupBy("id").agg(F.count(F.lit(1)).alias("szc"))
-    # candidate-cardinality verify: both joins are equi-keyed on
-    # (doc id, shingle hash) — the x6b intersection-count shape
-    hn2 = hn.select(F.col("id").alias("new_id"), F.col("h").alias("ha"))
-    hc2 = hc.select(F.col("id").alias("__oid"), F.col("h").alias("hb"))
-    inter = (
-        cands.join(hn2, "new_id")
-        .join(
-            hc2,
-            (F.col("old_id") == F.col("__oid"))
-            & (F.col("ha") == F.col("hb")),
-        )
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("__i"))
-    )
-    scored = (
-        inter.join(szn.withColumnRenamed("id", "new_id"), "new_id")
-        .join(szc.withColumnRenamed("id", "old_id"), "old_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("__i") / (F.col("szn") + F.col("szc") - F.col("__i")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
-    w = Window.partitionBy("new_id").orderBy(
-        F.col("jaccard").desc(), F.col("old_id")
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("new_id", F.col("old_id").alias("dup_of"), "jaccard")
     )

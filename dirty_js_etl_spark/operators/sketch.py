@@ -472,19 +472,23 @@ def kmv_estimate(sketch: DataFrame, keys: list[str], k: int) -> DataFrame:
     the group saturates (ns = k) the unbiased KMV estimator
     ``(k − 1) · 2^60 / h_k`` (h_k = the k-th smallest hash); when it
     doesn't, the sample IS the distinct set and the count is EXACT.
-    One correctly-rounded double division of exactly-representable
-    integers — identical bits on every engine. Returns (keys…, ns,
-    est_distinct)."""
+    The estimate is returned RAW — one IEEE-correctly-rounded double
+    division of values both engines materialize identically (the
+    numerator (k−1)·2^60 is exactly representable; the int64 h_k casts
+    to double by the same round-to-nearest rule everywhere) — the same
+    cross-engine discipline as ``hashed_linear_score``. No decimal
+    re-rounding: Spark's ``F.round`` (HALF_UP on the decimal string)
+    and DuckDB's ``round`` (binary half-away-from-zero) disagree near
+    3-decimal midpoints, exactly the divergence re-rounding would
+    reintroduce. Returns (keys…, ns, est_distinct)."""
     g = sketch.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("ns"), F.max("h").alias("__hk")
     )
     est = F.when(
         F.col("ns") < k, F.col("ns").cast("double")
     ).otherwise(
-        F.round(
-            F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / F.col("__hk"), 3
-        )
-        + 0.0
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE)
+        / F.col("__hk").cast("double")
     )
     return g.select(*keys, F.col("ns").cast("long").alias("ns"),
                     est.alias("est_distinct"))

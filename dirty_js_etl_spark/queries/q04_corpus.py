@@ -293,12 +293,15 @@ def x6b_minhash_lsh_portable(spark, sf_dir):
 # replica's 250k-pair graph one query ran >585 s in DuckDB where 8
 # unrolled rounds run in seconds). Each round takes the min label over
 # the in-neighborhood, then jumps to the label's own label — reach
-# doubles per round, so 6 rounds are exact for any component diameter
-# ≤ 2^6 (document near-dup cliques are diameter ≤ ~10). SAFE-FAIL: if
-# a graph ever exceeded that, the oracle would NOT silently agree —
-# the unconverged labels would hash-mismatch the engine's converged
-# ones and the sweep would flag it.
-def _cc_rounds_sql(rounds: int = 8) -> str:
+# doubles per round, so 8 rounds are exact for any component diameter
+# ≤ 2^8 = 256 (document near-dup cliques are diameter ≤ ~10; rounds
+# beyond convergence are no-op scans over an already-fixed label
+# table, so going 6 → 8 costs ~nothing and removes a false-alarm mode
+# on long duplicate chains). SAFE-FAIL: if a graph ever exceeded even
+# that, the oracle would NOT silently agree — the unconverged labels
+# would hash-mismatch the engine's converged ones and the sweep would
+# flag it.
+def _cc_rounds_sql(rounds: int = 8) -> tuple[str, str]:
     ctes = []
     prev = "l0"
     for k in range(1, rounds + 1):
@@ -316,7 +319,7 @@ def _cc_rounds_sql(rounds: int = 8) -> str:
     return ",\n".join(ctes), prev
 
 
-_X36_ROUNDS, _X36_LAST = _cc_rounds_sql(6)
+_X36_ROUNDS, _X36_LAST = _cc_rounds_sql(8)
 
 _X36_CTE = """
 WITH pairs AS MATERIALIZED (

@@ -15,8 +15,11 @@ streaming x202). These two queries close the set:
   distinct estimates from the k-th smallest md5-60bit hash, overlap
   from the Jaccard of the bottom-k union sample.
 
-Every stage — hashes, ranks, ordinals, the single rounded division per
-estimate — is recomputed by the DuckDB oracle, so the driver
+Every stage — hashes, ranks, ordinals, the single raw correctly-rounded
+division per estimate (never decimal-re-rounded: Spark's HALF_UP
+``F.round`` and DuckDB's binary ``round`` diverge near midpoints, the
+raw IEEE division does not) — is recomputed by the DuckDB oracle, so
+the driver
 hash-checks the twins end to end; ``tests/test_sketches.py`` ties the
 NATIVE demos to these twins with error-bound assertions.
 
@@ -143,11 +146,13 @@ def x214_quantile_rollup_portable(spark, sf_dir):
 
 def _kmv_est_sql(ns: str, hk: str, k: int) -> str:
     """The kmv_estimate formula, spelled once: exact below saturation,
-    else one rounded double division of exactly-representable values."""
+    else the RAW correctly-rounded double division (no decimal
+    re-rounding — Spark's HALF_UP F.round and DuckDB's binary round
+    disagree near midpoints; the raw division is bit-identical)."""
     return (
         f"CASE WHEN {ns} < {k} THEN CAST({ns} AS DOUBLE) "
-        f"ELSE round(CAST({k - 1} AS DOUBLE) * CAST({_SPACE} AS DOUBLE)"
-        f" / CAST({hk} AS DOUBLE), 3) + 0.0 END"
+        f"ELSE CAST({k - 1} AS DOUBLE) * CAST({_SPACE} AS DOUBLE)"
+        f" / CAST({hk} AS DOUBLE) END"
     )
 
 
@@ -189,11 +194,12 @@ ja AS (
   FROM va, pa, ua, ja
 ), o AS (
   SELECT viewers_est, purchasers_est, union_est,
-         round((jnd * union_est) / unsd, 3) + 0.0 AS overlap_est
+         CASE WHEN unsd = 0 THEN 0.0
+              ELSE (jnd * union_est) / unsd END AS overlap_est
   FROM e
 )
 SELECT viewers_est, purchasers_est, union_est, overlap_est,
-       round(viewers_est - overlap_est, 3) + 0.0 AS view_only_est
+       viewers_est - overlap_est AS view_only_est
 FROM o
 """
 
@@ -223,7 +229,22 @@ def x215_theta_overlap_portable(spark, sf_dir):
     sk = kmv_table(ev, ["event_type"], F.col("user_id"), _TK).localCheckpoint(
         eager=True
     )
-    ests = kmv_estimate(sk.select("event_type", "h"), ["event_type"], _TK)
+    # TOTAL per-type estimates: left-join against the literal type list
+    # so an event type with an EMPTY sketch still yields one row with
+    # est 0.0 — the oracle's scalar aggregates (count(*)/max over an
+    # empty v or p) always return a row, and a bare filter-over-groupBy
+    # here would return zero rows and crossJoin the whole result away.
+    types = spark.createDataFrame(
+        [("view",), ("purchase",)], "event_type string"
+    )
+    ests = types.join(
+        kmv_estimate(sk.select("event_type", "h"), ["event_type"], _TK),
+        "event_type",
+        "left",
+    ).select(
+        "event_type",
+        F.coalesce(F.col("est_distinct"), F.lit(0.0)).alias("est_distinct"),
+    )
     va = ests.filter(F.col("event_type") == "view").select(
         F.col("est_distinct").alias("viewers_est")
     )
@@ -241,15 +262,14 @@ def x215_theta_overlap_portable(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     ua = s.agg(F.count(F.lit(1)).alias("uns"), F.max("h").alias("uhk"))
+    # raw correctly-rounded division, no decimal re-round (see
+    # kmv_estimate: Spark HALF_UP vs DuckDB binary round diverge near
+    # 3-decimal midpoints; the raw double is bit-identical)
     union_est = (
         F.when(F.col("uns") < _TK, F.col("uns").cast("double"))
         .otherwise(
-            F.round(
-                F.lit(float(_TK - 1)) * F.lit(float(_SPACE))
-                / F.col("uhk").cast("double"),
-                3,
-            )
-            + 0.0
+            F.lit(float(_TK - 1)) * F.lit(float(_SPACE))
+            / F.col("uhk").cast("double")
         )
         .alias("union_est")
     )
@@ -267,7 +287,8 @@ def x215_theta_overlap_portable(spark, sf_dir):
         "viewers_est",
         "purchasers_est",
         "union_est",
-        (F.round((F.col("jnd") * F.col("union_est")) / F.col("unsd"), 3) + 0.0)
+        F.when(F.col("unsd") == 0.0, F.lit(0.0))
+        .otherwise((F.col("jnd") * F.col("union_est")) / F.col("unsd"))
         .alias("overlap_est"),
     )
     return o.select(
@@ -275,7 +296,5 @@ def x215_theta_overlap_portable(spark, sf_dir):
         "purchasers_est",
         "union_est",
         "overlap_est",
-        (F.round(F.col("viewers_est") - F.col("overlap_est"), 3) + 0.0).alias(
-            "view_only_est"
-        ),
+        (F.col("viewers_est") - F.col("overlap_est")).alias("view_only_est"),
     )

@@ -459,3 +459,52 @@ def test_incremental_ingest_hot_index_bucket_capped(spark):
     assert capped.count() == 0
     uncapped = incremental_near_dup(ingest, corpus, "doc_id", "text")
     assert {r.dup_of for r in uncapped.collect()} == {0}
+
+
+def test_probe_from_persisted_index_identical(spark, tmp_path):
+    """The build/probe split (bench's production-shaped x216 path) is
+    bit-identical to the self-contained composition, INCLUDING a
+    parquet round-trip of the three index tables — the persisted-index
+    layout a production pipeline reads between ingests."""
+    from dirty_js_etl_spark.operators.dedup import (
+        NearDupIndex,
+        build_near_dup_index,
+        incremental_near_dup,
+        portable_token_hash60,
+        probe_near_dup_index,
+    )
+
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    ingest = docs.filter(F.col("doc_id") % 5 == 0)
+    kw = dict(
+        num_perm=32, bands=8, hash_fn=portable_token_hash60,
+        portable_bands=True,
+    )
+    idx = build_near_dup_index(corpus, "doc_id", "text", **kw)
+    base = str(tmp_path / "ndidx")
+    idx.band_index.write.parquet(f"{base}/band_index")
+    idx.hashed.write.parquet(f"{base}/hashed")
+    idx.sizes.write.parquet(f"{base}/sizes")
+    persisted = NearDupIndex(
+        band_index=spark.read.parquet(f"{base}/band_index"),
+        hashed=spark.read.parquet(f"{base}/hashed"),
+        sizes=spark.read.parquet(f"{base}/sizes"),
+    )
+    probed = {
+        (r.new_id, r.dup_of, r.jaccard)
+        for r in probe_near_dup_index(
+            ingest, persisted, "doc_id", "text",
+            jaccard_threshold=0.5, **kw,
+        ).collect()
+    }
+    composed = {
+        (r.new_id, r.dup_of, r.jaccard)
+        for r in incremental_near_dup(
+            ingest, corpus, "doc_id", "text",
+            jaccard_threshold=0.5, **kw,
+        ).collect()
+    }
+    assert probed == composed and len(probed) > 0

@@ -226,6 +226,56 @@ def _delta_ok() -> bool:
         return False
 
 
+_DELTA_PARITY_SCRIPT = r"""
+import sys
+
+from delta import configure_spark_with_delta_pip
+from pyspark.sql import SparkSession
+
+from dirty_js_etl_spark.operators.merge import (
+    MergeKey, merge_into_sql, merge_upsert,
+)
+
+tmp = sys.argv[1]
+builder = (
+    SparkSession.builder.master("local[4]")
+    .appName("delta-merge-parity")
+    .config("spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension")
+    .config("spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+)
+spark = configure_spark_with_delta_pip(builder).getOrCreate()
+dest_rows = [(1, "old1", "keep1"), (2, "old2", "keep2")]
+src_rows = [(2, "new2", "s2"), (3, "new3", "s3")]
+for mode, kw in [
+    ("full", {}),
+    ("insert_only", dict(insert_only=True)),
+    ("update_only", dict(update_only=True)),
+]:
+    dest = spark.createDataFrame(dest_rows, "k int, v string, extra string")
+    src = spark.createDataFrame(src_rows, "k int, v string, extra string")
+    path = f"{tmp}/delta_{mode}"
+    dest.write.format("delta").save(path)
+    src.createOrReplaceTempView("src_view")
+    sql = merge_into_sql(
+        f"delta.`{path}`", "src_view", [MergeKey("k")],
+        ["k", "v", "extra"], **kw,
+    )
+    spark.sql(sql)
+    got = {tuple(r) for r in spark.read.format("delta").load(path).collect()}
+    exp = {
+        tuple(r)
+        for r in merge_upsert(dest, src, [MergeKey("k")], **kw).result.collect()
+    }
+    assert got == exp, mode
+spark.stop()
+print("PARITY-OK")
+"""
+
+
 @pytest.mark.skipif(
     not _delta_ok(),
     reason="delta-spark not installed in this container (and pip installs "
@@ -238,48 +288,29 @@ def _delta_ok() -> bool:
 def test_merge_into_sql_executes_on_delta(tmp_path):
     """End-to-end parity: the rendered MERGE INTO, executed on a Delta
     table, must produce exactly merge_upsert's result for the same
-    (dest, src, keys) — full merge, insertOnly, and updateOnly."""
-    from delta import configure_spark_with_delta_pip
-    from pyspark.sql import SparkSession
+    (dest, src, keys) — full merge, insertOnly, and updateOnly.
 
-    builder = (
-        SparkSession.builder.master("local[4]")
-        .appName("delta-merge-parity")
-        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
-        .config(
-            "spark.sql.catalog.spark_catalog",
-            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
-        )
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
+    Runs in a SUBPROCESS with its own JVM: in the pytest process the
+    shared session fixture has usually already built a SparkSession, so
+    ``getOrCreate()`` here would return it and silently drop the
+    ``spark.sql.extensions`` Delta config — failing on exactly the
+    delta-equipped clusters this gate targets. A fresh interpreter makes
+    the Delta-configured builder authoritative and leaves the shared
+    session untouched."""
+    import os
+    import subprocess
+    import sys
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _DELTA_PARITY_SCRIPT, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
     )
-    spark = configure_spark_with_delta_pip(builder).getOrCreate()
-    dest_rows = [(1, "old1", "keep1"), (2, "old2", "keep2")]
-    src_rows = [(2, "new2", "s2"), (3, "new3", "s3")]
-    for mode, kw in [
-        ("full", {}),
-        ("insert_only", dict(insert_only=True)),
-        ("update_only", dict(update_only=True)),
-    ]:
-        dest = spark.createDataFrame(dest_rows, "k int, v string, extra string")
-        src = spark.createDataFrame(src_rows, "k int, v string, extra string")
-        path = str(tmp_path / f"delta_{mode}")
-        dest.write.format("delta").save(path)
-        src.createOrReplaceTempView("src_view")
-        sql = merge_into_sql(
-            f"delta.`{path}`",
-            "src_view",
-            [MergeKey("k")],
-            ["k", "v", "extra"],
-            **kw,
-        )
-        spark.sql(sql)
-        got = {
-            tuple(r)
-            for r in spark.read.format("delta").load(path).collect()
-        }
-        exp = {
-            tuple(r)
-            for r in merge_upsert(dest, src, [MergeKey("k")], **kw).result.collect()
-        }
-        assert got == exp, mode
+    assert proc.returncode == 0 and "PARITY-OK" in proc.stdout, (
+        proc.stdout[-2000:] + proc.stderr[-2000:]
+    )
