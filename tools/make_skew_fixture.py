@@ -80,6 +80,35 @@ def skew_records(spark, n_rows: int = 50_000) -> DataFrame:
     )
 
 
+def skew_docs(spark, n_rows: int = 20_000) -> DataFrame:
+    """A document corpus with a DEGENERATE LSH band bucket (VERDICT r11
+    task 5): ~10% of docs share one normalized text (the web-boilerplate
+    shape — identical ToS/footer pages are the real-world cause), so
+    their minhash signatures — hence their (band, bucket) rows in EVERY
+    band — are identical and one bucket holds ~10% of the corpus. The
+    uncapped candidate self-join pays that bucket's quadratic term;
+    ``max_bucket_size`` must drop exactly that bucket and nothing else.
+    The other 90% of docs are unique 6-word texts whose every shingle
+    embeds the doc id, so they collide with nothing. Returns
+    (doc_id, text)."""
+    i = F.col("id").cast("string")
+    uniq = F.concat_ws(
+        " ",
+        F.concat(F.lit("ua"), i), F.concat(F.lit("vb"), i),
+        F.concat(F.lit("wc"), i), F.concat(F.lit("xd"), i),
+        F.concat(F.lit("ye"), i), F.concat(F.lit("zf"), i),
+    )
+    boiler = F.lit(
+        "terms of service apply to every page on this site please read"
+    )
+    return spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % SKEW_MOD == 0, boiler)
+        .otherwise(uniq)
+        .alias("text"),
+    )
+
+
 def skew_orders(orders: DataFrame) -> DataFrame:
     """~10% of orders point at customer ``HOT_CUSTKEY``: the hot hash
     partition of any o_custkey-keyed shuffle holds ~10% of the fact
