@@ -271,3 +271,95 @@ def test_salted_join_equals_plain_on_skew_fixture(catalog):
     assert _sorted(plain.select("o_orderkey", "o_custkey", "c_mktsegment")) == _sorted(
         salted.select("o_orderkey", "o_custkey", "c_mktsegment")
     )
+
+
+def test_hot_band_bucket_cap_binds_on_skew_docs(spark):
+    # the MinHash analog of the whale-block pin (VERDICT r11 task 5):
+    # skew_docs plants ONE degenerate band bucket — 10% of docs share a
+    # boilerplate text, so their signatures (hence (band, bucket) rows
+    # in EVERY band) are identical. The cap must drop exactly that
+    # bucket before the candidate self-join while the planted size-2
+    # twin buckets still pair. Measured at 30k docs (3k-doc whale):
+    # uncapped 11.5 s / 4,498,800 pairs vs capped 2.9 s / 300 pairs —
+    # the output delta is exactly the whale's 3000·2999/2 in-bucket
+    # quadratic plus nothing (SCALE.md r12).
+    from dirty_js_etl_spark.operators.dedup import minhash_lsh_pairs
+    from tools.make_skew_fixture import skew_docs
+
+    docs = skew_docs(spark, 2_000)
+    kw = dict(num_perm=32, bands=8, jaccard_threshold=0.5)
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", max_bucket_size=100, **kw
+    )
+    got = capped.collect()
+    twins = {(i - 1, i) for i in range(2_000) if i % 100 == 57}
+    assert {(r.id_a, r.id_b) for r in got} == twins  # exact-twin J=1.0
+    assert all(r.jaccard == 1.0 for r in got)
+    # identity-minus-whale: the cap removed in-whale pairs and NOTHING
+    # else (whale ids are ≡ 0 mod 10; twins never are)
+    uncapped = minhash_lsh_pairs(
+        docs, "doc_id", "text", max_bucket_size=10_000, **kw
+    )
+    non_whale = {
+        (r.id_a, r.id_b)
+        for r in uncapped.collect()
+        if not (r.id_a % 10 == 0 and r.id_b % 10 == 0)
+    }
+    assert non_whale == twins
+
+
+def test_hot_index_bucket_cap_guards_probe_on_skew_docs(spark):
+    # the same degenerate bucket on the x216 index-probe path: the cap
+    # binds at INDEX BUILD (build_near_dup_index), so an ingest doc
+    # probing the whale bucket finds no candidates — per-probe cost can
+    # never go quadratic in a hot bucket's population — while probes of
+    # healthy buckets are untouched (capped probe == uncapped probe
+    # minus whale-targeted rows).
+    from pyspark.sql import functions as F
+
+    from dirty_js_etl_spark.operators.dedup import (
+        build_near_dup_index,
+        probe_near_dup_index,
+    )
+    from tools.make_skew_fixture import skew_docs
+
+    corpus = skew_docs(spark, 2_000)
+    boiler = (
+        "terms of service apply to every page on this site please read"
+    )
+    twin_text = [
+        r.text for r in corpus.filter(F.col("doc_id") == 56).collect()
+    ][0]
+    ingest = spark.createDataFrame(
+        [
+            (100_000, boiler),     # probes the whale bucket
+            (100_001, twin_text),  # probes a healthy size-2 bucket
+            (100_002, "utterly novel ingest words nothing shared here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    kw = dict(num_perm=32, bands=8)
+    capped_idx = build_near_dup_index(
+        corpus, "doc_id", "text", max_bucket_size=100, **kw
+    )
+    got = {
+        r.new_id: (r.dup_of, r.jaccard)
+        for r in probe_near_dup_index(
+            ingest, capped_idx, "doc_id", "text",
+            jaccard_threshold=0.5, **kw,
+        ).collect()
+    }
+    # whale probe: nothing (bucket dropped at build); twin probe: argmax
+    # tie between corpus 56 and 57 -> min id; novel: nothing
+    assert got == {100_001: (56, 1.0)}
+    uncapped_idx = build_near_dup_index(
+        corpus, "doc_id", "text", max_bucket_size=10_000, **kw
+    )
+    ungot = {
+        r.new_id: (r.dup_of, r.jaccard)
+        for r in probe_near_dup_index(
+            ingest, uncapped_idx, "doc_id", "text",
+            jaccard_threshold=0.5, **kw,
+        ).collect()
+    }
+    assert ungot == {100_000: (0, 1.0), 100_001: (56, 1.0)}

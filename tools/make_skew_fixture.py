@@ -89,22 +89,29 @@ def skew_docs(spark, n_rows: int = 20_000) -> DataFrame:
     uncapped candidate self-join pays that bucket's quadratic term;
     ``max_bucket_size`` must drop exactly that bucket and nothing else.
     The other 90% of docs are unique 6-word texts whose every shingle
-    embeds the doc id, so they collide with nothing. Returns
-    (doc_id, text)."""
-    i = F.col("id").cast("string")
-    uniq = F.concat_ws(
-        " ",
-        F.concat(F.lit("ua"), i), F.concat(F.lit("vb"), i),
-        F.concat(F.lit("wc"), i), F.concat(F.lit("xd"), i),
-        F.concat(F.lit("ye"), i), F.concat(F.lit("zf"), i),
-    )
+    embeds the doc id, so they collide with nothing — EXCEPT a planted
+    TWIN per 100-block (`id % 100 == 57` carries id−1's text, and 56 is
+    never a whale id), giving the capped run legitimate small buckets
+    (size 2) that must keep pairing: the cap has to be surgical, not
+    global. Returns (doc_id, text)."""
+
+    def uniq(idc):
+        s = idc.cast("string")
+        return F.concat_ws(
+            " ",
+            F.concat(F.lit("ua"), s), F.concat(F.lit("vb"), s),
+            F.concat(F.lit("wc"), s), F.concat(F.lit("xd"), s),
+            F.concat(F.lit("ye"), s), F.concat(F.lit("zf"), s),
+        )
+
     boiler = F.lit(
         "terms of service apply to every page on this site please read"
     )
     return spark.range(n_rows).select(
         F.col("id").alias("doc_id"),
         F.when(F.col("id") % SKEW_MOD == 0, boiler)
-        .otherwise(uniq)
+        .when(F.col("id") % 100 == 57, uniq(F.col("id") - 1))
+        .otherwise(uniq(F.col("id")))
         .alias("text"),
     )
 
