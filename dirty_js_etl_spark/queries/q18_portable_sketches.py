@@ -278,10 +278,20 @@ def x215_theta_overlap_portable(spark, sf_dir):
         .join(p, "h", "left_semi")
         .agg(F.count(F.lit(1)).cast("double").alias("jnd"))
     )
+    # every operand is a ≤1-row aggregate/filter of the 2-row type list;
+    # broadcast explicitly — the r12 left-join against the literal type
+    # list hides the 1-row statistics, and a bare crossJoin would plan
+    # as a CartesianProduct (the plan sweep forbids it)
     e = (
-        va.crossJoin(pa)
-        .crossJoin(ua.select(union_est, F.col("uns").cast("double").alias("unsd")))
-        .crossJoin(ja)
+        va.crossJoin(F.broadcast(pa))
+        .crossJoin(
+            F.broadcast(
+                ua.select(
+                    union_est, F.col("uns").cast("double").alias("unsd")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(ja))
     )
     o = e.select(
         "viewers_est",
