@@ -229,27 +229,35 @@ def x215_theta_overlap_portable(spark, sf_dir):
     sk = kmv_table(ev, ["event_type"], F.col("user_id"), _TK).localCheckpoint(
         eager=True
     )
-    # TOTAL per-type estimates: left-join against the literal type list
-    # so an event type with an EMPTY sketch still yields one row with
-    # est 0.0 — the oracle's scalar aggregates (count(*)/max over an
-    # empty v or p) always return a row, and a bare filter-over-groupBy
-    # here would return zero rows and crossJoin the whole result away.
-    types = spark.createDataFrame(
-        [("view",), ("purchase",)], "event_type string"
-    )
-    ests = types.join(
-        kmv_estimate(sk.select("event_type", "h"), ["event_type"], _TK),
-        "event_type",
-        "left",
-    ).select(
-        "event_type",
-        F.coalesce(F.col("est_distinct"), F.lit(0.0)).alias("est_distinct"),
-    )
-    va = ests.filter(F.col("event_type") == "view").select(
-        F.col("est_distinct").alias("viewers_est")
-    )
-    pa = ests.filter(F.col("event_type") == "purchase").select(
-        F.col("est_distinct").alias("purchasers_est")
+    # TOTAL per-type estimates in ONE row: a GLOBAL aggregate over the
+    # kmv_estimate output always returns exactly one row, so an event
+    # type with an EMPTY sketch coalesces to est 0.0 — matching the
+    # oracle's scalar aggregates (count(*)/max over an empty v or p
+    # still yield a row) — where a bare filter-over-groupBy would
+    # return zero rows and crossJoin the whole result away. This also
+    # replaces the va × pa crossJoin: both columns ride the same row.
+    # (The r12 first cut left-joined a literal type list instead; the
+    # A/B measured that spelling +0.75 s — two extra joins and a
+    # per-call createDataFrame — so it was replaced by this one.)
+    ests = kmv_estimate(sk.select("event_type", "h"), ["event_type"], _TK)
+    vp = ests.groupBy().agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("event_type") == "view", F.col("est_distinct")
+                )
+            ),
+            F.lit(0.0),
+        ).alias("viewers_est"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("est_distinct"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("purchasers_est"),
     )
     v = sk.filter(F.col("event_type") == "view").select("h")
     p = sk.filter(F.col("event_type") == "purchase").select("h")
@@ -278,21 +286,14 @@ def x215_theta_overlap_portable(spark, sf_dir):
         .join(p, "h", "left_semi")
         .agg(F.count(F.lit(1)).cast("double").alias("jnd"))
     )
-    # every operand is a ≤1-row aggregate/filter of the 2-row type list;
-    # broadcast explicitly — the r12 left-join against the literal type
-    # list hides the 1-row statistics, and a bare crossJoin would plan
-    # as a CartesianProduct (the plan sweep forbids it)
-    e = (
-        va.crossJoin(F.broadcast(pa))
-        .crossJoin(
-            F.broadcast(
-                ua.select(
-                    union_est, F.col("uns").cast("double").alias("unsd")
-                )
-            )
+    # every operand is a 1-row global aggregate; broadcast explicitly
+    # so the scalar composition can never plan as a CartesianProduct
+    # (the registry-wide plan sweep forbids it)
+    e = vp.crossJoin(
+        F.broadcast(
+            ua.select(union_est, F.col("uns").cast("double").alias("unsd"))
         )
-        .crossJoin(F.broadcast(ja))
-    )
+    ).crossJoin(F.broadcast(ja))
     o = e.select(
         "viewers_est",
         "purchasers_est",
