@@ -2,9 +2,13 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. The driver records this as
-BENCH_r{N}.json and grades against BASELINE.md (DuckDB on the same
-parquet is the de facto yardstick, 2x envelope).
+"queries": {name: best_sec}, "runs": {name: [all N run secs]},
+"canary": {"query": ..., "every": K, "series": [...]}, "sf": ...}.
+The driver records this as BENCH_r{N}.json and grades against
+BASELINE.md (DuckDB on the same parquet is the de facto yardstick, 2x
+envelope). "How to read a contaminated run" is documented in
+BASELINE.md — the spreads + canary series exist so a contended driver
+box can never fake a regression invisibly (BENCH_r12's tail did).
 
 Each timed run drains the query with a count-style action (collect on
 aggregates, count on wide outputs) so the whole plan executes; a warmup
@@ -111,10 +115,16 @@ HEADLINE = [
 ]
 
 
-_X216_INDEX_DIR = "/tmp/spark_graft_bench_x216_index"
+def _x216_index_dir(sf_dir: str) -> str:
+    """Per-scale, per-process index path: two concurrent bench runs (e.g.
+    an sf0.1 bench next to an sf1 sweep) must not overwrite/read each
+    other's prebuilt index and silently time a probe against the
+    wrong-scale corpus (ADVICE r13)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return f"/tmp/spark_graft_bench_x216_index_{tag}_{os.getpid()}"
 
 
-def _prep_x216_index(spark, sf_dir: str) -> None:
+def _prep_x216_index(spark, sf_dir: str, index_dir: str) -> None:
     """Fixture prep for x216_ingest_probe: build the corpus near-dup
     index ONCE (exactly x216's parameters) and persist it as parquet —
     the table layout a production pipeline keeps between ingests."""
@@ -131,11 +141,9 @@ def _prep_x216_index(spark, sf_dir: str) -> None:
         corpus, "doc_id", "text", num_perm=32, bands=8,
         hash_fn=portable_token_hash60, portable_bands=True,
     )
-    idx.band_index.write.mode("overwrite").parquet(
-        f"{_X216_INDEX_DIR}/band_index"
-    )
-    idx.hashed.write.mode("overwrite").parquet(f"{_X216_INDEX_DIR}/hashed")
-    idx.sizes.write.mode("overwrite").parquet(f"{_X216_INDEX_DIR}/sizes")
+    idx.band_index.write.mode("overwrite").parquet(f"{index_dir}/band_index")
+    idx.hashed.write.mode("overwrite").parquet(f"{index_dir}/hashed")
+    idx.sizes.write.mode("overwrite").parquet(f"{index_dir}/sizes")
 
 
 def _x216_ingest_probe(spark, sf_dir: str):
@@ -150,10 +158,11 @@ def _x216_ingest_probe(spark, sf_dir: str):
         probe_near_dup_index,
     )
 
+    index_dir = _x216_index_dir(sf_dir)
     index = NearDupIndex(
-        band_index=spark.read.parquet(f"{_X216_INDEX_DIR}/band_index"),
-        hashed=spark.read.parquet(f"{_X216_INDEX_DIR}/hashed"),
-        sizes=spark.read.parquet(f"{_X216_INDEX_DIR}/sizes"),
+        band_index=spark.read.parquet(f"{index_dir}/band_index"),
+        hashed=spark.read.parquet(f"{index_dir}/hashed"),
+        sizes=spark.read.parquet(f"{index_dir}/sizes"),
     )
     ingest = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") % 5 == 0
@@ -178,32 +187,60 @@ def main() -> None:
     if extra:
         names = [n for n in extra.split(",") if n in qs]
     if "x216_ingest_probe" in names:
-        _prep_x216_index(spark, sf_dir)  # untimed: production builds once
+        # untimed: production builds once
+        _prep_x216_index(spark, sf_dir, _x216_index_dir(sf_dir))
 
     # warmup: prime JVM, codegen, parquet footers
     for n in names[:1]:
         qs[n](spark, sf_dir).count()
 
+    def timed_run(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        # drop frames persisted inside operators (dedup shingle tables)
+        # so measurements stay isolated across queries
+        spark.catalog.clearCache()
+        return elapsed
+
+    # Contention canary (VERDICT r12 task 1): one fixed cheap query is
+    # re-timed before the loop and again every CANARY_EVERY queries. On a
+    # quiet box its series is flat; under sustained steal/contention the
+    # later samples inflate, which timestamps WHICH window of the bench
+    # loop was contended. Read it next to `runs`: a query whose all-N
+    # spread is wide AND whose loop position falls in an inflated canary
+    # window is a contaminated measurement, not a regression
+    # (BENCH_r12's 2-7x tail was exactly this, disproved by re-runs).
+    canary_name = os.environ.get("BENCH_CANARY", "x41_hash_split")
+    canary_every = max(1, int(os.environ.get("BENCH_CANARY_EVERY", "10")))
+    canary: list[float] = []
+    if canary_name in qs:
+        timed_run(canary_name)  # its own warmup
+        canary.append(round(timed_run(canary_name), 4))
+
     # per-query untimed warmup + best-of-N (default 3): the host VM
     # shows heavy run-to-run steal/JIT variance (round 2 recorded a
     # phantom 8x regression on x5 from one contended run); the warmup
     # absorbs first-run compilation/page-cache effects and the minimum
-    # of three timed runs is the achievable per-query time — a noisy
-    # run can only ADD time, so it can never fake a regression
+    # of three timed runs is the achievable per-query time. Under
+    # SUSTAINED contention even the minimum inflates (BENCH_r12), so the
+    # artifact also carries every run's time (`runs`) and the canary
+    # series — the evidence needed to tell contention from regression.
     runs = max(3, int(os.environ.get("BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
-    for n in names:
-        best = float("inf")
+    all_runs: dict[str, list[float]] = {}
+    for qi, n in enumerate(names):
+        samples: list[float] = []
         for i in range(runs + 1):
-            t0 = time.perf_counter()
-            df = qs[n](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            elapsed = timed_run(n)
             if i > 0:  # run 0 is the untimed warmup
-                best = min(best, time.perf_counter() - t0)
-            # drop frames persisted inside operators (dedup shingle
-            # tables) so measurements stay isolated across queries
-            spark.catalog.clearCache()
-        timings[n] = round(best, 4)
+                samples.append(round(elapsed, 4))
+        timings[n] = min(samples)
+        all_runs[n] = samples
+        if canary and (qi + 1) % canary_every == 0:
+            canary.append(round(timed_run(canary_name), 4))
+    if canary:  # closing sample so the tail window is always covered
+        canary.append(round(timed_run(canary_name), 4))
 
     print(
         json.dumps(
@@ -212,6 +249,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
+                "canary": {
+                    "query": canary_name,
+                    "every": canary_every,
+                    "series": canary,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
