@@ -702,7 +702,9 @@ def _ngram_pairs_core(
 # ---------------------------------------------------------------------------
 
 
-def _components_single_task(edges: DataFrame, id_type) -> DataFrame:
+def _components_single_task(
+    edges: DataFrame, id_type, _inject_failure: bool = False
+) -> DataFrame:
     """Union-find connected components in ONE executor task (not the
     driver) — the small-graph physical strategy of :func:`dup_clusters`.
     ``edges`` is the bidirectional (src, dst) table, so ``src`` covers
@@ -717,6 +719,10 @@ def _components_single_task(edges: DataFrame, id_type) -> DataFrame:
 
     def uf(pdf):
         import pandas as pd
+
+        if _inject_failure:  # test hook: a REAL in-task failure, so the
+            # fallback is exercised through Spark's task-failure path
+            raise RuntimeError("injected union-find task failure (test)")
 
         parent: dict = {}
 
@@ -752,6 +758,7 @@ def dup_clusters(
     id_b: str = "id_b",
     max_iterations: int = 20,
     small_graph_edges: int = 1_000_000,
+    _inject_single_task_failure: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (id, cluster_id) with
     cluster_id = min member id — the keep-one-per-cluster dedup step
@@ -782,7 +789,11 @@ def dup_clusters(
     the threshold. Above the threshold the distributed min-label loop
     runs unchanged — at 100 TB a pair graph can be billions of edges (the
     caps bound per-block work, not the total), and nothing here ever
-    collects to the driver. Output is bit-identical either way
+    collects to the driver. The single-task path is materialized eagerly
+    and FALLS BACK to the distributed loop on task failure (a 1M-edge
+    graph with pathological node count can still OOM one executor; the
+    fallback recovers instead of failing the query). Output is
+    bit-identical either way
     (union-by-min-root ≡ converged min-label propagation; both label a
     component by its minimum member id). Per-round cost of the big-path
     loop is one checkpoint job plus one bounded scan: the old-vs-new
@@ -798,7 +809,28 @@ def dup_clusters(
     )
     # bounded job over the checkpointed blocks — the strategy pick
     if edges.count() <= small_graph_edges:
-        return _components_single_task(edges, pairs.schema[id_a].dataType)
+        # The single task is materialized HERE (eager localCheckpoint):
+        # a pathological graph right at the edge threshold (1M edges but
+        # high node count / long chains) can still OOM one executor, and
+        # a lazy return would surface that failure downstream, inside
+        # whatever action consumes the clusters. Materializing bounds
+        # the failure to this call so it can FALL BACK to the
+        # distributed min-label loop instead of failing the query
+        # (VERDICT r12 task 5). Output is bit-identical either way, so
+        # the fallback is invisible except in the log.
+        try:
+            return _components_single_task(
+                edges,
+                pairs.schema[id_a].dataType,
+                _inject_failure=_inject_single_task_failure,
+            ).localCheckpoint(eager=True)
+        except Exception:  # Py4JJavaError etc. — task/executor failure
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dup_clusters: single-task union-find failed; falling "
+                "back to the distributed min-label loop"
+            )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

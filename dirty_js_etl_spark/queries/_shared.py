@@ -97,36 +97,29 @@ def register(name: str, oracle: str | None):
 _SENTINELS: list[str] = [
     # evergreen §2 canary
     "t5_merge_full",
-    # round 11: these queries' implementations changed (previously-green
-    # driver rows verified the OLD spelling), so they re-lead the window
-    # for a fresh driver row under the new one:
-    # - x209 now shares ONE localCheckpointed (id, rec, blocks) base and
-    #   ONE rec-level rep table across all three candidate generators
-    #   and the resolve (VERDICT r10 task 1), and multi_pass_resolve
-    #   treats NULL-rec records as per-record singletons (ADVICE r10)
+    # round 13 (VERDICT r12 task 4): the r11/r12-reworked queries rotated
+    # out of the r12 window the same round their implementations changed
+    # (x215's type-list join became a one-row global aggregate with
+    # coalesce, 91cae33; kmv_estimate dropped its decimal re-round,
+    # sketch.py; x216 gained the build/probe split; x217 landed with the
+    # r11 batch). All four are sf1-swept locally, but the driver must
+    # re-confirm them end-to-end, so they lead the r13 window:
+    "x214_quantile_rollup_portable",
+    "x215_theta_overlap_portable",
+    "x216_incremental_ingest_dedup",
+    "x217_quality_linear_scorer",
+    # round 13: implementations changed THIS round (previously-green
+    # driver rows verified the OLD spelling):
+    # - x36's connected-components single-task union-find gained a
+    #   task-failure fallback to the distributed min-label loop
+    #   (VERDICT r12 task 5)
+    "x36_dup_clusters",
+    # round 12 carry-overs (plans unchanged since their r12 green rows,
+    # kept one more round as the linkage/privacy §2 canaries)
     "x209_multi_pass_resolution",
-    # - resolve_entities: NULL-rec records are per-record singletons
-    #   (ADVICE r10 — missing data is not identity evidence); oracle
-    #   re-attach moved to LEFT JOIN + COALESCE over non-null reps
     "x206_entity_resolution",
-    # - t_closeness's grid join went null-safe per quasi-identifier key
-    #   (eqNullSafe / IS NOT DISTINCT FROM, ADVICE r10)
     "x213_t_closeness",
-    # - DEFAULT_PII_PATTERNS gained the full 3-3-4 phone form ahead of
-    #   the 7-digit suffix form (ADVICE r10 under-redaction), new
-    #   n_phone_full count column on both sides
-    "x211_pii_redact",
-    # - ngram_jaccard_pairs' df cap is now weight-summed (record-level
-    #   document frequency under dedup_values, ADVICE r10) — the
-    #   default path's plan changed (sum(__w) window vs count(*))
     "x5_ngram_jaccard_pairs",
-    "x42_cluster_canonical",
-    # round 10 carry-overs (plans unchanged since their r10 green rows,
-    # kept one more round as the linkage-family §2 canaries)
-    "x210_weighted_link_pairs",
-    "x205_link_pairs",
-    "x207_sorted_neighborhood",
-    "x208_lsh_link_pairs",
 ]
 
 

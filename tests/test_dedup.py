@@ -147,6 +147,32 @@ def test_dup_clusters_both_physical_paths_agree(spark):
     assert small[5] == 1 and small[33] == 30
 
 
+def test_dup_clusters_single_task_failure_falls_back(spark):
+    """VERDICT r12 task 5: a task failure inside the single-task
+    union-find (forced here via an injected in-task raise, which fails
+    the job through Spark's real task-failure path) must NOT fail the
+    query — dup_clusters falls back to the distributed min-label loop
+    and produces the identical labeling."""
+    from dirty_js_etl_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+         (20, 21), (30, 31), (30, 32), (30, 33), (5, 1)],
+        "id_a bigint, id_b bigint",
+    )
+    healthy = {
+        r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    fallback = {
+        r["id"]: r["cluster_id"]
+        for r in dup_clusters(
+            pairs, _inject_single_task_failure=True
+        ).collect()
+    }
+    assert fallback == healthy
+    assert fallback[5] == 1 and fallback[33] == 30
+
+
 def test_fuzzy_blocked_pairs_symmetric_free_and_thresholded(spark, catalog):
     from dirty_js_etl_spark.operators.dedup import fuzzy_blocked_pairs
 
