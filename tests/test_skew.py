@@ -308,6 +308,47 @@ def test_hot_band_bucket_cap_binds_on_skew_docs(spark):
     assert non_whale == twins
 
 
+def test_hot_band_bucket_cap_binds_on_lsh_link_pairs(spark):
+    # the linkage-LSH analog of the whale-bucket pin (VERDICT r12 task
+    # 6): skew_link_records plants ~10% of records as DISTINCT values
+    # sharing a 61-char boilerplate (one unique trailing char each) —
+    # the shape lsh_link_pairs's value-dedup CANNOT collapse, yet their
+    # char-gram minhash signatures agree with (59/60)²≈0.97 probability
+    # per band, so one bucket per band holds ~97% of the whale. The cap
+    # must drop exactly those hot buckets: whale pairs (levenshtein 1,
+    # within max_distance) vanish, while the planted size-2 twin
+    # buckets still pair. A whale outside the hot bucket sits in a
+    # deterministic SINGLETON bucket (its signature carries its own
+    # final gram, shared with nothing), so capped == uncapped minus
+    # in-whale pairs exactly. Measured at 20k records / 2k-whale
+    # (record-level spelling, dedup_values=False): see SCALE.md r13.
+    from dirty_js_etl_spark.operators.linkage import lsh_link_pairs
+    from tools.make_skew_fixture import skew_link_records
+
+    recs = skew_link_records(spark, 600)
+    kw = dict(max_distance=2, num_perm=32, bands=16)
+    capped = lsh_link_pairs(recs, "rid", "rec", max_bucket_size=20, **kw)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got, "non-hot buckets must still pair"
+    # no whale pair survives the cap (whale ids are ≡ 0 mod 10)
+    assert not any(a % 10 == 0 and b % 10 == 0 for a, b in got), (
+        "a whale-bucket pair survived the cap"
+    )
+    # every planted twin is found (ids 57, 157, ... pair with id−1)
+    twins = {(i - 1, i) for i in range(600) if i % 100 == 57}
+    assert twins <= got
+    # and the whale buckets are the ONLY thing the cap removed
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in lsh_link_pairs(
+            recs, "rid", "rec", max_bucket_size=100_000, **kw
+        ).collect()
+    }
+    assert got == {
+        (a, b) for a, b in uncapped if not (a % 10 == 0 and b % 10 == 0)
+    }
+
+
 def test_hot_index_bucket_cap_guards_probe_on_skew_docs(spark):
     # the same degenerate bucket on the x216 index-probe path: the cap
     # binds at INDEX BUILD (build_near_dup_index), so an ingest doc

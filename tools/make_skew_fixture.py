@@ -116,6 +116,68 @@ def skew_docs(spark, n_rows: int = 20_000) -> DataFrame:
     )
 
 
+def skew_link_records(spark, n_rows: int = 600) -> DataFrame:
+    """A linkage catalog with a DEGENERATE CHAR-GRAM BAND BUCKET of
+    DISTINCT record values (VERDICT r12 task 6) — the one hot-key shape
+    ``lsh_link_pairs``'s value-dedup cannot collapse: ~10% of records
+    share a 61-char boilerplate and differ only in ONE trailing char
+    (a distinct normalization-stable codepoint per whale, so values are
+    unique and pairwise levenshtein = 1). A whale record's 60
+    char-3-grams are 59/60 shared with the boilerplate, so per band
+    (2 rows of 32 perms) the probability BOTH minima come from shared
+    grams is (59/60)² ≈ 0.97 — one bucket per band holds ~97% of the
+    whale, quadratic under the candidate self-join unless
+    ``max_bucket_size`` binds. A whale that misses that bucket carries
+    its OWN final gram's hash in the signature, which NO other record
+    shares (the final gram is the only one containing its unique char)
+    — deterministic singleton buckets, so the whale's pair mass lives
+    ONLY in the hot bucket and the cap's output delta is surgical. The
+    other 90% of records are unique id-embedding strings that collide
+    with nothing — except a planted TWIN per 100-block
+    (``id % 100 == 57`` carries id−1's record with one substituted
+    char, distance 1): legitimate size-2 buckets the cap must keep
+    pairing. ``n_rows`` is capped by the suffix alphabet (63
+    lowercase-stable chars — shingling lowercases, so 'A' and 'a' would
+    collide; the surgical guarantee needs every whale suffix distinct
+    post-normalization). Returns (rid, rec)."""
+    suffixes = "0123456789abcdefghijklmnopqrstuvwxyz!#$%&()*+,-./:;<=>?@[]^_{}~"
+    if n_rows > len(suffixes) * SKEW_MOD:
+        raise ValueError(
+            f"skew_link_records is deterministic only up to "
+            f"{len(suffixes) * SKEW_MOD} rows "
+            f"({len(suffixes)} one-char whale suffixes)"
+        )
+    boiler = "terms of service apply to every page please read them all now"
+    whale = F.concat(
+        F.lit(boiler),
+        # one unique trailing normalization-stable char per whale record
+        F.element_at(
+            F.array(*[F.lit(c) for c in suffixes]),
+            (F.col("id") / SKEW_MOD).cast("int") + 1,
+        ),
+    )
+
+    def uniq(idc):
+        s = idc.cast("string")
+        return F.concat_ws(
+            " ",
+            F.concat(F.lit("qa"), s), F.concat(F.lit("rb"), s),
+            F.concat(F.lit("sc"), s), F.concat(F.lit("td"), s),
+            F.concat(F.lit("ue"), s), F.concat(F.lit("vf"), s),
+        )
+
+    twin = F.concat(  # id−1's record with its FIRST char substituted
+        F.lit("Z"), F.substring(uniq(F.col("id") - 1), 2, 1_000_000)
+    )
+    return spark.range(n_rows).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % SKEW_MOD == 0, whale)
+        .when(F.col("id") % 100 == 57, twin)
+        .otherwise(uniq(F.col("id")))
+        .alias("rec"),
+    )
+
+
 def skew_orders(orders: DataFrame) -> DataFrame:
     """~10% of orders point at customer ``HOT_CUSTKEY``: the hot hash
     partition of any o_custkey-keyed shuffle holds ~10% of the fact
