@@ -1435,6 +1435,7 @@ def probe_near_dup_index(
     seed: int = 42,
     hash_fn: Callable[[Column], Column] | None = None,
     portable_bands: bool = False,
+    max_candidates_per_probe: int | None = None,
 ) -> DataFrame:
     """The PER-INGEST half of :func:`incremental_near_dup`: band the new
     batch with the same seeded signature family, probe the persisted
@@ -1445,7 +1446,21 @@ def probe_near_dup_index(
     whose corpus side is index rows + candidate-cardinality verify
     joins — never corpus-pairs-sized. Output contract is identical to
     :func:`incremental_near_dup` (one argmax decision row per matched
-    new doc)."""
+    new doc).
+
+    ``max_candidates_per_probe`` (opt-in, VERDICT r12 task 2) bounds
+    the verify cost per ingest doc in duplicate-dense corpora: when a
+    new doc's buckets hold many corpus docs (e.g. a template with
+    hundreds of legitimate near-copies), only the top-m candidates by
+    BAND-AGREEMENT COUNT (the number of bands in which the pair
+    co-bucketed — a monotone proxy for signature similarity, hence for
+    Jaccard; ties → min old_id) proceed to the exact verify. The argmax
+    decision is preserved whenever the true best co-buckets in at least
+    as many bands as the m-th candidate — for an exact or near-exact
+    dup that is ALL bands, so the cap cannot evict it
+    (``test_probe_candidate_cap_keeps_argmax``). Candidate counts on
+    the uniform fixtures stay tiny (p99 = 2 at sf0.1); the knob exists
+    for the duplicate-dense regime, measured in SCALE.md r13."""
     from pyspark.sql import Window
 
     hf = hash_fn or (lambda c: F.xxhash64(c))
@@ -1454,11 +1469,29 @@ def probe_near_dup_index(
         num_perm=num_perm, bands=bands, seed=seed, hash_fn=hash_fn,
         portable_bands=portable_bands,
     ).withColumnRenamed("id", "new_id")
-    cands = (
-        probe.join(index.band_index, ["band", "bucket"])
-        .select("new_id", "old_id")
-        .distinct()
-    )
+    if max_candidates_per_probe is None:
+        cands = (
+            probe.join(index.band_index, ["band", "bucket"])
+            .select("new_id", "old_id")
+            .distinct()
+        )
+    else:
+        # same shuffle shape as the .distinct() spelling (one agg keyed
+        # on the pair), plus a per-new_id window whose partitions are
+        # bounded by bands × index-side bucket cap
+        agree = (
+            probe.join(index.band_index, ["band", "bucket"])
+            .groupBy("new_id", "old_id")
+            .agg(F.count(F.lit(1)).alias("__bands"))
+        )
+        wc = Window.partitionBy("new_id").orderBy(
+            F.col("__bands").desc(), F.col("old_id")
+        )
+        cands = (
+            agree.withColumn("__crn", F.row_number().over(wc))
+            .filter(F.col("__crn") <= max_candidates_per_probe)
+            .select("new_id", "old_id")
+        )
     hn = new_docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("g"),

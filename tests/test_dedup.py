@@ -534,3 +534,53 @@ def test_probe_from_persisted_index_identical(spark, tmp_path):
         ).collect()
     }
     assert probed == composed and len(probed) > 0
+
+
+def test_probe_candidate_cap_keeps_argmax(spark):
+    """VERDICT r12 task 2: the opt-in per-probe candidate cap bounds
+    verify cost in duplicate-dense corpora WITHOUT changing the argmax
+    decision. skew_docs' whale bucket holds 200 identical corpus docs;
+    an ingest doc probing it draws 200 candidates uncapped. With
+    max_candidates_per_probe=5 only the top-5 by band-agreement
+    survive — all whales agree in all 8 bands, so the tie breaks to the
+    min old_ids, which include the uncapped argmax (min old_id at max
+    jaccard). Output must be identical to uncapped, on every probe."""
+    from dirty_js_etl_spark.operators.dedup import (
+        build_near_dup_index,
+        probe_near_dup_index,
+    )
+    from tools.make_skew_fixture import skew_docs
+
+    corpus = skew_docs(spark, 2_000)
+    boiler = (
+        "terms of service apply to every page on this site please read"
+    )
+    twin_text = [
+        r.text for r in corpus.filter(F.col("doc_id") == 56).collect()
+    ][0]
+    ingest = spark.createDataFrame(
+        [(100_000, boiler), (100_001, twin_text)],
+        "doc_id bigint, text string",
+    )
+    kw = dict(num_perm=32, bands=8)
+    # uncapped INDEX (max_bucket_size high) so the whale bucket is live
+    # and the probe-side cap is what bounds the verify
+    idx = build_near_dup_index(
+        corpus, "doc_id", "text", max_bucket_size=10_000, **kw
+    )
+
+    def run(**probe_kw):
+        return {
+            r.new_id: (r.dup_of, r.jaccard)
+            for r in probe_near_dup_index(
+                ingest, idx, "doc_id", "text",
+                jaccard_threshold=0.5, **kw, **probe_kw,
+            ).collect()
+        }
+
+    uncapped = run()
+    assert uncapped == {100_000: (0, 1.0), 100_001: (56, 1.0)}
+    assert run(max_candidates_per_probe=5) == uncapped
+    # even m=1 keeps the argmax here: band-agreement ties break to the
+    # min old_id, which is also the jaccard-tie winner
+    assert run(max_candidates_per_probe=1) == uncapped
