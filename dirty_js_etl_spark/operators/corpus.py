@@ -634,10 +634,11 @@ def repeated_span_coverage(
             F.coalesce("repeated_chars", F.lit(0))
             .cast("long")
             .alias("repeated_chars"),
-            F.round(
+            # raw integer-count ratio — no decimal re-round (the kmv
+            # discipline, VERDICT r12 task 3; see tools/round_audit.py)
+            (
                 F.coalesce("repeated_chars", F.lit(0)).cast("double")
-                / F.col("n_chars"),
-                6,
+                / F.col("n_chars")
             ).alias("repeated_ratio"),
         )
     )
@@ -729,8 +730,10 @@ def ngram_novelty(
             "id",
             "n_grams",
             "novel_grams",
-            F.round(
-                F.col("novel_grams").cast("double") / F.col("n_grams"), 6
+            # raw integer-count ratio — no decimal re-round (kmv
+            # discipline)
+            (
+                F.col("novel_grams").cast("double") / F.col("n_grams")
             ).alias("novelty_ratio"),
         )
     )

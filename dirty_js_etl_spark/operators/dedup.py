@@ -294,13 +294,15 @@ def minhash_lsh_pairs(
         .withColumn("__inter", F.size(F.array_intersect("__gaa", "__gab")))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("__inter")
-                / (
-                    F.size("__gaa") + F.size("__gab") - F.col("__inter")
-                ),
-                6,
-            ),
+            # RAW integer-count ratio — one IEEE division of values both
+            # engines materialize identically, so it hashes identically
+            # everywhere. NO decimal re-round: Spark's F.round (HALF_UP
+            # on the shortest decimal repr) and DuckDB's round (binary
+            # half-away) disagree on ratios like 41/640 = 0.0640625
+            # (tools/round_audit.py scan: 93 such p/q with q<=20000 at
+            # scale 6) — the kmv_estimate discipline, VERDICT r12 task 3.
+            F.col("__inter")
+            / (F.size("__gaa") + F.size("__gab") - F.col("__inter")),
         )
     )
     return verified.filter(
@@ -361,11 +363,10 @@ def _count_based_verify(
     return (
         inter.withColumn(
             "jaccard",
-            F.round(
-                F.col("__inter")
-                / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
-                6,
-            ),
+            # raw integer-count ratio, no decimal re-round (the kmv
+            # discipline — see the array-verify path's note)
+            F.col("__inter")
+            / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
@@ -507,9 +508,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("szc") > 0)
             .withColumn(
                 "jaccard",
-                F.round(
-                    F.col("szc") / (2 * F.col("sz") - F.col("szc")), 6
-                ),
+                # raw integer-count ratio, no decimal re-round (kmv
+                # discipline)
+                F.col("szc") / (2 * F.col("sz") - F.col("szc")),
             )
             .filter(F.col("jaccard") >= tau)
             .select("vk", "jaccard")
@@ -682,11 +683,10 @@ def _ngram_pairs_core(
     pairs = (
         verified.withColumn(
             "jaccard",
-            F.round(
-                F.col("__inter")
-                / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
-                6,
-            ),
+            # raw integer-count ratio, no decimal re-round (kmv
+            # discipline)
+            F.col("__inter")
+            / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
@@ -1193,11 +1193,10 @@ def prefix_jaccard_pairs(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("__inter")
-                / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
-                6,
-            ),
+            # raw integer-count ratio, no decimal re-round (kmv
+            # discipline)
+            F.col("__inter")
+            / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
         )
         .filter(F.col("jaccard") >= t)
         .select("id_a", "id_b", "jaccard")
@@ -1518,10 +1517,9 @@ def probe_near_dup_index(
         .join(index.sizes, "old_id")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("__i") / (F.col("szn") + F.col("szc") - F.col("__i")),
-                6,
-            ),
+            # raw integer-count ratio, no decimal re-round (kmv
+            # discipline)
+            F.col("__i") / (F.col("szn") + F.col("szc") - F.col("__i")),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
     )

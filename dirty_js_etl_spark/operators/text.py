@@ -146,8 +146,9 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     s = text_stats(col)
     return (
         df.withColumn("n_tokens", s["n_tokens"])
-        .withColumn("alpha_ratio", F.round(s["alpha_ratio"], 6))
-        .withColumn("stopword_ratio", F.round(s["stopword_ratio"], 6))
+        # raw integer-count ratios, no decimal re-round (kmv discipline)
+        .withColumn("alpha_ratio", s["alpha_ratio"])
+        .withColumn("stopword_ratio", s["stopword_ratio"])
         .withColumn("quality", quality_score(col))
         .withColumn("lang_pred", lang_id(col))
         .withColumn("fingerprint", fingerprint_md5(col))

@@ -112,14 +112,38 @@ _SENTINELS: list[str] = [
     # driver rows verified the OLD spelling):
     # - x36's connected-components single-task union-find gained a
     #   task-failure fallback to the distributed min-label loop
-    #   (VERDICT r12 task 5)
+    #   (VERDICT r12 task 5), and its input pairs' jaccard threshold
+    #   now filters on the RAW ratio (below)
     "x36_dup_clusters",
+    # - the cross-engine rounding audit (VERDICT r12 task 3,
+    #   tools/round_audit.py) flipped every bit-identical-input
+    #   F.round site to the raw-division kmv discipline on BOTH the
+    #   Spark and oracle sides — Spark's HALF_UP-on-decimal-string vs
+    #   DuckDB's binary round diverge on 93 integer ratios with
+    #   q <= 20000 (e.g. 41/640). These queries' output values (and
+    #   threshold semantics) changed and must re-appear driver-green:
+    "x5_ngram_jaccard_pairs",
+    "x6b_minhash_lsh_portable",
+    "x42_cluster_canonical",
+    "x90_ngram_corpus_dedup",
+    "x152_paragraph_dedup",
+    "x165_prefix_jaccard_join",
+    "x167_incremental_minhash",
+    "x188_repeated_spans",
+    "x190_ngram_novelty",
+    "x3_text_quality",
+    "x26_math_functions",
+    "x79_distribution_ranks",
+    "x91_time_weighted_avg",
+    "x93_winsorized_mean",
+    "x102_embedding_norms",
+    "x113_variant_json",
+    "x116_tpch_q17",
     # round 12 carry-overs (plans unchanged since their r12 green rows,
     # kept one more round as the linkage/privacy §2 canaries)
     "x209_multi_pass_resolution",
     "x206_entity_resolution",
     "x213_t_closeness",
-    "x5_ngram_jaccard_pairs",
 ]
 
 

@@ -163,7 +163,7 @@ def x25_date_functions(spark, sf_dir):
 SELECT l_orderkey AS okey, l_linenumber AS line,
        CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
                   * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net,
-       round(sqrt(l_quantity), 6) AS sq,
+       sqrt(l_quantity) AS sq,
        CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct,
        abs(l_quantity - 25) AS dist25,
        round(ln(l_extendedprice), 6) AS log_price,
@@ -185,7 +185,10 @@ def x26_math_functions(spark, sf_dir):
         )
         .cast("double")
         .alias("net"),
-        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        # raw sqrt: IEEE-754 sqrt is correctly rounded on both
+        # engines and l_quantity is integral -- bit-identical, no
+        # decimal re-round (kmv discipline)
+        F.sqrt("l_quantity").alias("sq"),
         F.ceil(F.col("l_discount") * 100).alias("disc_pct"),
         F.abs(F.col("l_quantity") - 25).alias("dist25"),
         F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),

@@ -80,8 +80,8 @@ WITH feat AS (
            / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
   FROM feat
 )
-SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio,
-       round(stopword_ratio, 6) AS stopword_ratio,
+SELECT doc_id, alpha_ratio,
+       stopword_ratio,
        round(alpha_ratio * 0.4 + stopword_ratio * 0.3 +
              (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3,
              6) AS quality
@@ -96,8 +96,11 @@ def x3_text_quality(spark, sf_dir):
     s = text_stats(col)
     return docs.select(
         "doc_id",
-        F.round(s["alpha_ratio"], 6).alias("alpha_ratio"),
-        F.round(s["stopword_ratio"], 6).alias("stopword_ratio"),
+        # raw integer-count ratios, no decimal re-round (kmv
+        # discipline, VERDICT r12 task 3; quality keeps its round --
+        # the weighted sum's decimal literals differ across engines)
+        s["alpha_ratio"].alias("alpha_ratio"),
+        s["stopword_ratio"].alias("stopword_ratio"),
         quality_score(col).alias("quality"),
     )
 
@@ -160,11 +163,11 @@ WITH words AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+       inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
 FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5
+WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
 """
 
 
@@ -253,7 +256,7 @@ WITH words AS (
   GROUP BY 1, 2
 ), scored AS (
   SELECT id_a, id_b,
-         round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+         i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
@@ -1603,7 +1606,7 @@ WITH corpus AS (
   GROUP BY 1, 2
 ), scored AS (
   SELECT new_id, old_id,
-         round(i / CAST(sa.szn + sb.szc - i AS DOUBLE), 6) AS jaccard
+         i / CAST(sa.szn + sb.szc - i AS DOUBLE) AS jaccard
   FROM inter
   JOIN szn sa ON sa.doc_id = new_id
   JOIN szc sb ON sb.doc_id = old_id

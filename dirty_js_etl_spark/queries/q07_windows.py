@@ -727,14 +727,14 @@ def x78_filtered_agg(spark, sf_dir):
     """
 WITH r AS (
   SELECT c_mktsegment, c_acctbal,
-         round(percent_rank() OVER w, 6) AS pr,
-         round(cume_dist() OVER w, 6) AS cd
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd
   FROM customer
   WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
 )
 SELECT c_mktsegment,
        round(max(CASE WHEN cd <= 0.5 THEN c_acctbal END), 2) AS p50_floor,
-       round(max(pr), 6) AS max_pr,
+       max(pr) AS max_pr,
        CAST(count(*) AS BIGINT) AS n
 FROM r GROUP BY 1
 """,
@@ -751,14 +751,16 @@ def x79_distribution_ranks(spark, sf_dir):
     r = c.select(
         "c_mktsegment",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        # raw rank ratios ((rank-1)/(n-1), ints) -- bit-identical on
+        # both engines; no decimal re-round (kmv discipline)
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
     )
     return r.groupBy("c_mktsegment").agg(
         F.round(
             F.max(F.when(F.col("cd") <= 0.5, F.col("c_acctbal"))), 2
         ).alias("p50_floor"),
-        F.round(F.max("pr"), 6).alias("max_pr"),
+        F.max("pr").alias("max_pr"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -1217,8 +1219,8 @@ WITH d AS (
   FROM events
 ), f AS (SELECT * FROM d WHERE dur IS NOT NULL)
 SELECT user_id,
-       CAST(round(CAST(sum(CAST(value AS DECIMAL(18,6)) * dur) AS DOUBLE)
-                  / sum(dur), 6) + 0.0 AS DOUBLE) AS tw_avg,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,6)) * dur) AS DOUBLE)
+                  / sum(dur) + 0.0 AS DOUBLE) AS tw_avg,
        CAST(sum(dur) AS BIGINT) AS active_seconds
 FROM f GROUP BY user_id HAVING sum(dur) > 0
 """,
@@ -1247,8 +1249,11 @@ def x91_time_weighted_avg(spark, sf_dir):
         .filter(F.col("tsec") > 0)
         .select(
             "user_id",
+            # raw division of an exact decimal sum by an integer sum --
+            # bit-identical on both engines, no decimal re-round (kmv
+            # discipline)
             (
-                F.round(F.col("wsum").cast("double") / F.col("tsec"), 6) + F.lit(0.0)
+                F.col("wsum").cast("double") / F.col("tsec") + F.lit(0.0)
             ).alias("tw_avg"),
             F.col("tsec").cast("bigint").alias("active_seconds"),
         )
@@ -1319,9 +1324,9 @@ WITH b AS (
   FROM lineitem
 )
 SELECT l_returnflag,
-       CAST(round(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi)
+       CAST(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi)
                                 AS DECIMAL(18,6))) AS DOUBLE)
-                  / count(*), 6) + 0.0 AS DOUBLE) AS wins_mean,
+                  / count(*) + 0.0 AS DOUBLE) AS wins_mean,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem, b
 GROUP BY l_returnflag
@@ -1347,8 +1352,11 @@ def x93_winsorized_mean(spark, sf_dir):
         ),
     )
     return clipped.groupBy("l_returnflag").agg(
+        # raw division of an exact decimal sum by a count -- bit-identical
+        # on both engines, no decimal re-round (kmv discipline); the p01/
+        # p99 BOUNDS stay rounded (percentile interpolation is noisy)
         (
-            F.round(F.sum("clipped").cast("double") / F.count(F.lit(1)), 6)
+            F.sum("clipped").cast("double") / F.count(F.lit(1))
             + F.lit(0.0)
         ).alias("wins_mean"),
         F.count(F.lit(1)).alias("n_rows"),

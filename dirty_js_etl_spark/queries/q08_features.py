@@ -274,10 +274,10 @@ WITH n AS (
   FROM embeddings
 )
 SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-       CAST(round(CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)
-                  / count(*), 6) + 0.0 AS DOUBLE) AS avg_norm,
-       round(min(nrm), 6) AS min_norm,
-       round(max(nrm), 6) AS max_norm
+       CAST(CAST(sum(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE)
+                  / count(*) + 0.0 AS DOUBLE) AS avg_norm,
+       min(nrm) AS min_norm,
+       max(nrm) AS max_norm
 FROM n GROUP BY label
 """,
 )
@@ -305,16 +305,17 @@ def x102_embedding_norms(spark, sf_dir):
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
+            # the INNER per-row round stays (it makes the DECIMAL(18,9)
+            # cast exact); these OUTER rounds over the already-rounded,
+            # bit-identical norms were pure flake surface -- raw
+            # division / min / max (kmv discipline)
             (
-                F.round(
-                    F.sum(F.col("nrm").cast("decimal(18,9)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                )
+                F.sum(F.col("nrm").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
                 + F.lit(0.0)
             ).alias("avg_norm"),
-            F.round(F.min("nrm"), 6).alias("min_norm"),
-            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
         )
     )
 
@@ -750,8 +751,8 @@ def x112_udtf_chunk(spark, sf_dir):
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-       CAST(round(CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE)
-                  / count(*), 6) + 0.0 AS DOUBLE) AS avg_k
+       CAST(CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS DOUBLE)
+                  / count(*) + 0.0 AS DOUBLE) AS avg_k
 FROM events GROUP BY event_type
 """,
 )
@@ -770,8 +771,10 @@ def x113_variant_json(spark, sf_dir):
     return v.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("k").cast("bigint").alias("sum_k"),
+        # raw integer-sum / count -- bit-identical on both engines,
+        # no decimal re-round (kmv discipline)
         (
-            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 6) + F.lit(0.0)
+            F.sum("k").cast("double") / F.count(F.lit(1)) + F.lit(0.0)
         ).alias("avg_k"),
     )
 
@@ -869,8 +872,8 @@ WITH pavg AS (
   SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thresh
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                  / 7.0, 6) + 0.0 AS DOUBLE) AS avg_yearly
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / 7.0 + 0.0 AS DOUBLE) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#12'
 JOIN pavg ON pavg.l_partkey = l.l_partkey
@@ -901,14 +904,13 @@ def x116_tpch_q17(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
     )
     return probe.agg(
+        # raw division of an exact decimal sum -- bit-identical on both
+        # engines, no decimal re-round (kmv discipline)
         (
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
-                )
-                / 7.0,
-                6,
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
             )
+            / 7.0
             + F.lit(0.0)
         ).alias("avg_yearly")
     )

@@ -652,11 +652,11 @@ WITH words AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+       inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
 FROM shared
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.5
+WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
 """,
 )
 def x165_prefix_jaccard_join(spark, sf_dir):
@@ -821,12 +821,12 @@ WITH words AS (
   GROUP BY 1, 2
 ), scored_x AS (
   SELECT id_a, id_b,
-         round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+         i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
   FROM inter_x JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
 ), scored_w AS (
   SELECT id_a, id_b,
-         round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+         i / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
   FROM inter_w JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
 )

@@ -59,7 +59,7 @@ WITH g AS (
 SELECT d.doc_id AS id,
        CAST(length(d.text) AS BIGINT) AS n_chars,
        CAST(coalesce(c.repeated_chars, 0) AS BIGINT) AS repeated_chars,
-       round(CAST(coalesce(c.repeated_chars, 0) AS DOUBLE) / length(d.text), 6)
+       CAST(coalesce(c.repeated_chars, 0) AS DOUBLE) / length(d.text)
          AS repeated_ratio
 FROM documents d LEFT JOIN cov c USING (doc_id)
 """,
@@ -125,8 +125,8 @@ SELECT grams.doc_id AS id,
        CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN first_id = grams.doc_id THEN 1 ELSE 0 END) AS BIGINT)
          AS novel_grams,
-       round(CAST(sum(CASE WHEN first_id = grams.doc_id THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*), 6) AS novelty_ratio
+       CAST(sum(CASE WHEN first_id = grams.doc_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS novelty_ratio
 FROM grams JOIN first USING (g)
 GROUP BY grams.doc_id
 """,

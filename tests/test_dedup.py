@@ -271,7 +271,7 @@ def test_prefix_jaccard_equals_brute_force(spark, catalog):
     exp = sorted(
         (r["id_a"], r["id_b"], r["j"])
         for r in inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("j", F.round(F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")), 6))
+        .withColumn("j", F.col("i") / (F.col("sa") + F.col("sb") - F.col("i")))
         .filter(F.col("j") >= 0.5)
         .select("id_a", "id_b", "j")
         .collect()
