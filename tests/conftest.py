@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -23,7 +25,12 @@ def catalog(spark):
 def duck():
     con = duckdb.connect()
     # keep DuckDB spill outside the worktree (default is cwd-relative .tmp/)
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    # per-process spill dir: DuckDB's spill file names are not
+    # process-unique, so concurrent sweeps/test runs would clobber
+    # each other's files under a shared path (ADVICE r13)
+    con.execute(
+        f"SET temp_directory='/tmp/duckdb_oracle_tmp_{os.getpid()}'"
+    )
     for t in FIXTURE_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con

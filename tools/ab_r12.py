@@ -25,13 +25,15 @@ from __future__ import annotations
 
 import importlib.util
 import json
+import os
 import statistics
 import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -42,17 +44,22 @@ PRE_R11 = "ba51d91^"
 
 def load_from_git(ref: str, path: str, name: str):
     src = subprocess.run(
-        ["git", "-C", "/root/repo", "show", f"{ref}:{path}"],
+        ["git", "-C", REPO, "show", f"{ref}:{path}"],
         capture_output=True, text=True, check=True,
     ).stdout
+    # the temp module file is deleted after exec (ADVICE r13: repeated
+    # A/B runs were accumulating stray *_*.py files in /tmp)
     f = tempfile.NamedTemporaryFile(
         "w", suffix=".py", prefix=name + "_", delete=False
     )
-    f.write(src)
-    f.close()
-    spec = importlib.util.spec_from_file_location(name, f.name)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    try:
+        f.write(src)
+        f.close()
+        spec = importlib.util.spec_from_file_location(name, f.name)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        os.unlink(f.name)
     return mod
 
 

@@ -118,7 +118,12 @@ def main() -> int:
     con = duckdb.connect()
     # Spill outside the worktree: the default temp_directory is cwd-relative
     # (.tmp/), and a large sweep once committed a 2.1 GB spill file into git.
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    # per-process spill dir: DuckDB's spill file names are not
+    # process-unique, so concurrent sweeps/test runs would clobber
+    # each other's files under a shared path (ADVICE r13)
+    con.execute(
+        f"SET temp_directory='/tmp/duckdb_oracle_tmp_{os.getpid()}'"
+    )
     for t in FIXTURE_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -73,7 +73,12 @@ def main(out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     # keep DuckDB spill outside the worktree (default is cwd-relative .tmp/)
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    # per-process spill dir: DuckDB's spill file names are not
+    # process-unique, so concurrent sweeps/test runs would clobber
+    # each other's files under a shared path (ADVICE r13)
+    con.execute(
+        f"SET temp_directory='/tmp/duckdb_oracle_tmp_{os.getpid()}'"
+    )
     for table, rule in RULES.items():
         src = f"{SRC}/{table}.parquet"
         dst = f"{out_dir}/{table}.parquet"
