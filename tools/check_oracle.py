@@ -34,6 +34,7 @@ locally under this mode.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import duckdb
