@@ -45,6 +45,30 @@ from dirty_js_etl_spark.catalog import FIXTURE_TABLES  # noqa: E402
 from dirty_js_etl_spark.session import get_spark  # noqa: E402
 
 
+def _run_meta() -> dict:
+    """Self-dating metadata: every committed artifact should say which
+    head and instant it describes (VERDICT r12: sweeps whose rows did
+    not change are byte-identical, so mtime/git alone cannot prove
+    freshness)."""
+    import datetime
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        head = None
+    return {
+        "git_head": head,
+        "generated_utc": datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat(timespec="seconds"),
+    }
+
+
 def get_bare_spark():
     """A deliberately unprotected session — Spark defaults only, like the
     driver's. (UI off and a local master are environmental, not semantic.)"""
@@ -178,6 +202,7 @@ def main() -> int:
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     if json_out:
         summary = {
+            **_run_meta(),
             "session": "bare" if bare else "protected",
             "sf_dir": sf_dir,
             "n_queries": len(record),

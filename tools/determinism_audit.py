@@ -46,6 +46,30 @@ HOSTILE = {
 }
 
 
+def _run_meta() -> dict:
+    """Self-dating metadata: every committed artifact should say which
+    head and instant it describes (VERDICT r12: sweeps whose rows did
+    not change are byte-identical, so mtime/git alone cannot prove
+    freshness)."""
+    import datetime
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        head = None
+    return {
+        "git_head": head,
+        "generated_utc": datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat(timespec="seconds"),
+    }
+
+
 def _run(fn, spark, sf_dir):
     df = fn(spark, sf_dir)
     return normalize(df.toPandas())
@@ -133,6 +157,7 @@ def main() -> int:
     )
     if json_out:
         summary = {
+            **_run_meta(),
             "sf_dir": sf_dir,
             "hostile_conf": HOSTILE,
             "n_queries": len(record),
