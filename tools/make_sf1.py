@@ -23,7 +23,9 @@ Scaling rules (TPC-H-style):
   vectors are legal corpus data; if a pair query blows up on them,
   that IS a scale bug worth catching).
 
-Usage: python tools/make_sf1.py [out_dir]   (default .sf1_testdata/)
+Usage: python tools/make_sf1.py [out_dir] [--reps N]
+  (defaults: .sf1_testdata/ and 10 replicas = sf1; --reps 100 builds an
+  sf10-equivalent — keys stay inside int32 at rep*10^7 up to rep 213)
 """
 
 from __future__ import annotations
@@ -69,7 +71,7 @@ RULES: dict[str, dict[str, str]] = {
 }
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, reps: int = REPS) -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     # keep DuckDB spill outside the worktree (default is cwd-relative .tmp/)
@@ -100,7 +102,7 @@ def main(out_dir: str) -> None:
             )
             con.execute(
                 f"COPY (SELECT {sel} FROM read_parquet('{src}') "
-                f"CROSS JOIN range({REPS}) r(rep)) TO '{dst}' "
+                f"CROSS JOIN range({reps}) r(rep)) TO '{dst}' "
                 "(FORMAT PARQUET)"
             )
         n = con.execute(
@@ -110,4 +112,12 @@ def main(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else ".sf1_testdata")
+    argv = sys.argv[1:]
+    reps = REPS
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        if reps * OFF > 2**31 - 1:
+            raise SystemExit(f"--reps {reps}: offset keys would overflow int32")
+        del argv[i : i + 2]
+    main(argv[0] if argv else ".sf1_testdata", reps)
