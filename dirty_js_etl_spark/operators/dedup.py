@@ -31,6 +31,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dirty_js_etl_spark.operators.parallel import spread_for_cpu
 from dirty_js_etl_spark.operators.text import normalize_text
 
 _P = 2_147_483_647  # 2^31 - 1 (Mersenne prime), universal-hash modulus
@@ -68,11 +69,27 @@ def dedup_exact(df: DataFrame, key: Column, id_col: str) -> DataFrame:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-grams of the normalized text (array<string>).
-    Docs with fewer than k words yield the whole doc as one shingle."""
+    Docs with fewer than k words yield the whole doc as one shingle.
+
+    Spelled as a ``zip_with`` chain over k−1 shifted slices of the word
+    array rather than ``transform(idx, i -> concat_ws(slice(words, i,
+    k)))``: higher-order functions evaluate interpreted (outside
+    codegen), and the per-ELEMENT slice allocation made shingling the
+    dominant map cost of every Jaccard pipeline (r13 microbench: 2.2×
+    — 0.40 s → 0.19 s per shingle+hash pass over sf0.1 documents).
+    zip_with pads the shorter side with NULL and concat_ws skips NULLs,
+    so the trailing partial grams it produces are exactly the rows the
+    final slice drops; output is bit-identical (diff-tested)."""
     words = F.split(normalize_text(text), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    z = words
+    for j in range(1, k):
+        z = F.zip_with(
+            z,
+            F.slice(words, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    grams = F.slice(z, 1, F.greatest(n - k + 1, F.lit(1)))
     return F.array_distinct(grams)
 
 
@@ -248,8 +265,17 @@ def minhash_lsh_pairs(
         .drop("__n")
     )
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # both join sides pinned to the configured parallelism ON THE JOIN
+    # KEYS: per-row join work is |bucket| comparisons (up to
+    # max_bucket_size), so AQE's byte-based coalescing of the small
+    # banded table would fold the candidate enumeration to one task
+    # (r13 profile). Spelling BOTH sides as the SAME pinned repartition
+    # keeps the subtrees canonically identical (one computation via
+    # exchange reuse) and satisfies the join's distribution requirement,
+    # so no extra coalescable exchange sneaks back in.
+    spread = spread_for_cpu(banded, "band", "bucket")
+    left = spread.alias("l")
+    right = spread.alias("r")
     cands = (
         left.join(
             right,

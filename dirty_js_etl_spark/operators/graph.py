@@ -78,25 +78,32 @@ def pagerank_quantized(
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     base = (d_den - d_num) * scale // d_den
     for _ in range(iters):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
+        contrib = e.join(ranks.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
             # `div` is INTEGER division on longs (Spark) — exact, unlike
             # `/` which would round-trip through IEEE double
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank div deg").alias("c"),
+            F.expr("rank div deg").alias("c"),
+        )
+        # dangling/zero-incoming nodes used to re-attach via
+        # ``nodes LEFT JOIN groupBy(contrib)`` — an extra exchange + sort
+        # per iteration (r13 profile: the unrolled plan carried three
+        # exchanges per step). Unioning an explicit 0-contribution row
+        # per node folds the re-attach INTO the aggregation: one shuffle
+        # computes the same integer sums (sum over contribs ∪ {0} ==
+        # coalesce(sum over contribs, 0), and contrib nodes ⊆ nodes), so
+        # each step is exactly two exchanges (ranks→src, contribs→node).
+        ranks = (
+            contrib.unionByName(
+                nodes.select("node", F.lit(0).cast("long").alias("c"))
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inc"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base).cast("long")
-                + F.expr(
-                    f"(coalesce(inc, CAST(0 AS BIGINT)) * {d_num})"
-                    f" div {d_den}"
-                )
-            ).alias("rank"),
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"(inc * {d_num}) div {d_den}")
+                ).alias("rank"),
+            )
         )
     return ranks

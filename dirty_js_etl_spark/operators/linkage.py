@@ -40,6 +40,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dirty_js_etl_spark.operators.parallel import spread_for_cpu
+
 
 def blocked_link_pairs(
     df: DataFrame,
@@ -77,7 +79,12 @@ def blocked_link_pairs(
     recs = (
         recs.join(sizes, "blk").filter(F.col("__n") <= max_block_size).drop("__n")
     )
-    l, r = recs.alias("l"), recs.alias("r")
+    # probe side pinned to the configured parallelism: the per-row join
+    # work here is |block| Levenshteins, so AQE's byte-based coalescing
+    # (the value table is a few hundred KB) would fold the quadratic
+    # enumeration to one task (r13 profile)
+    l = spread_for_cpu(recs, "blk", "rec", "id").alias("l")
+    r = recs.alias("r")
     dist = F.levenshtein(F.col("l.rec"), F.col("r.rec"))
     return (
         l.join(
@@ -459,7 +466,12 @@ def weighted_link_pairs(
             for fn in fnames
         ],
     )
-    l, r = recs.alias("l"), recs.alias("r")
+    # probe side pinned to the configured parallelism: per-row join work
+    # is |block| guarded Levenshteins; AQE's byte-based coalescing folds
+    # the saturated value table (a few hundred KB) to ONE task otherwise
+    # (r13 profile: x210's enumeration was a single 4.5 s task)
+    l = spread_for_cpu(recs, "blk", *fnames).alias("l")
+    r = recs.alias("r")
     cond = (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id"))
     pairs = []
     lens = []

@@ -738,6 +738,31 @@ def x140_density_grid(spark, sf_dir):
     )
 
 
+def _copurchase_pairs(li):
+    """Distinct co-purchase part pairs appearing in >= 2 orders, WITHOUT
+    the lineitem self-join (r13): the join spelling exchanged lineitem
+    twice, and on the single-row-group fixture scan that map stage was
+    serial (x143 profile: 1.8 s of the 5.3 s wall). collect_set per
+    order shuffles lineitem ONCE; the quadratic within-order expansion
+    (k ≈ 4–7 lines/order) runs parallel above the exchange. collect_set
+    dedups within the order, so one row per (order, pa, pb) and
+    count(*) ≥ 2 is exactly the old countDistinct(l_orderkey) ≥ 2."""
+    grouped = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    return (
+        grouped.select(F.explode("ps").alias("pa"), "ps")
+        .select("pa", F.explode("ps").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+
+
 @register(
     "x141_triangle_count",
     """
@@ -769,16 +794,7 @@ def x141_triangle_count(spark, sf_dir):
     # list is corpus-scale on a real graph and must never broadcast;
     # AQE may still pick a runtime broadcast when it is actually small.
     li = _cat(spark, sf_dir).read("lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.countDistinct("l_orderkey").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_pairs(li)
     deg = (
         pairs.select(F.col("pa").alias("v"))
         .unionAll(pairs.select(F.col("pb").alias("v")))
@@ -926,16 +942,7 @@ def x143_pagerank(spark, sf_dir):
     from dirty_js_etl_spark.operators.graph import pagerank_quantized
 
     li = _cat(spark, sf_dir).read("lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.countDistinct("l_orderkey").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_pairs(li)
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))

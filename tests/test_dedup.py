@@ -94,6 +94,36 @@ def test_shingles_short_doc(spark):
     assert out == ["one two"]  # whole doc as single shingle
 
 
+def test_word_shingles_zipwith_matches_reference(spark):
+    """The r13 zip_with spelling must be value-identical to the
+    straightforward transform+slice definition on every edge shape:
+    empty, 1 word, k-1 words, exactly k, longer, duplicate grams,
+    messy whitespace."""
+    texts = [
+        "", " ", "one", "one two", "one two three",
+        "one two three four five six",
+        "a a a a a",  # duplicate grams -> array_distinct
+        "  A   b\tC  d ",  # normalization: case + whitespace runs
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    for k in (2, 3, 4):
+        words = F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        )
+        n = F.size(words)
+        idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+        ref = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+        )
+        rows = df.select(
+            ref.alias("ref"), word_shingles(F.col("text"), k).alias("got")
+        ).collect()
+        for r in rows:
+            assert r["got"] == r["ref"], (k, r)
+
+
 def test_dup_clusters_components(spark):
     """Chain, triangle, and pair components: every node labels with its
     component minimum; no cross-component merging."""
