@@ -25,8 +25,13 @@ def main() -> None:
     import bench
 
     qs = dict(all_queries())
+    qs["x216_ingest_probe"] = bench._x216_ingest_probe
     names = sys.argv[2:] or [n for n in bench.HEADLINE if n in qs]
     spark = get_spark("r13_plans")
+    if "x216_ingest_probe" in names:
+        bench._prep_x216_index(
+            spark, SF_DIR, bench._x216_index_dir(SF_DIR)
+        )
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
