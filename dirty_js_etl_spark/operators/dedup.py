@@ -222,13 +222,19 @@ def minhash_lsh_pairs(
     # packed arrays (≈ posting-row bytes, but one row per doc) makes
     # it run exactly once. Shingles are array_distinct so the array
     # length IS the set size (modulo a 2^-64 xxhash collision).
-    # GC-scoped localCheckpoint, EAGER (VERDICT r04 #8: lazy
-    # checkpoints of multi-consumer frames spray cancelled-task
-    # accumulator noise).
+    # GC-scoped localCheckpoint, LAZY (r14 job-floor audit): the FIRST
+    # consumer is sig_tbl's EAGER build below — a single sequential job
+    # in which this frame appears once, so it materializes (and
+    # persists) inside that job instead of paying its own blocking
+    # job first. The later verify-join consumers read the persisted
+    # blocks. The VERDICT r04 #8 lazy-checkpoint race (concurrent
+    # stages both computing an unmaterialized frame, spraying
+    # cancelled-task noise) cannot happen here because sig_tbl's eager
+    # build completes before any concurrent consumer launches.
     hashed = sh_base.select(
         "id",
         F.transform("sh", hash_fn or (lambda s: F.xxhash64(s))).alias("ga"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     exploded = hashed.select("id", F.explode("ga").alias("g"))
     # codegen-friendly signature table (see minhash_signature_table);
     # band j buckets on the hash of its contiguous r-column slice.
@@ -831,7 +837,12 @@ def dup_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY + count (r14 job-floor audit): the strategy-pick count
+        # below is the first consumer, so it materializes the
+        # checkpoint inside its own job — one blocking job instead of
+        # the former eager-build-then-count two. No concurrent-consumer
+        # race: everything after the count reads persisted blocks.
+        .localCheckpoint(eager=False)
     )
     # bounded job over the checkpointed blocks — the strategy pick
     if edges.count() <= small_graph_edges:
@@ -897,7 +908,13 @@ def dup_clusters(
                     != F.col("__old")
                 ).alias("__chg"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r14 job-floor audit): the convergence probe below is
+            # the first consumer and runs sequentially, so it
+            # materializes the round's frame inside its own job — one
+            # blocking job per round instead of two. (The initial
+            # ``labels`` checkpoint above stays EAGER: it feeds three
+            # concurrent stages of the round job, the r04 lazy-race.)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.select("id", "label")

@@ -74,7 +74,12 @@ def pagerank_quantized(
         .union(e.select("dst"))
         .distinct()
     )
-    nodes = nodes.localCheckpoint(eager=True)
+    # LAZY (r14 job-floor audit): nodes derives from the already-
+    # materialized edge table by one tiny distinct, so its own blocking
+    # job bought nothing; the first consuming stage materializes it. A
+    # concurrent-stage race would at worst recompute the small distinct
+    # over checkpointed blocks (cheap), never the edge derivation.
+    nodes = nodes.localCheckpoint(eager=False)
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     base = (d_den - d_num) * scale // d_den
     for _ in range(iters):

@@ -35,6 +35,15 @@ def flatten_hierarchy(
     """``(id, root, depth)`` for every node of a forest given a parent
     table (``parent`` NULL ⇔ root). Raises if ``max_iterations``
     doubling rounds don't converge (a cycle, or depth > 2^max_iter)."""
+    # LAZY (r14 job-floor audit): the first convergence-probe count is
+    # the first consumer of both frames, so one blocking job
+    # materializes state and non_roots together instead of two eager
+    # builds plus the count (three jobs became one). The same holds
+    # per round: the NEXT round's probe count is each new state's
+    # first consumer, so every round saves its build job too. All
+    # consumers are strictly sequential (count → hop join → next
+    # state), so the lazy-checkpoint concurrent-race caveat never
+    # applies here.
     state = edges.select(
         F.col(id_col).alias("id"),
         F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
@@ -42,11 +51,11 @@ def flatten_hierarchy(
         .otherwise(1)
         .cast("int")
         .alias("depth"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     non_roots = (
         edges.filter(F.col(parent_col).isNotNull())
         .select(F.col(id_col).alias("nr"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iterations):
         unresolved = state.join(
@@ -75,7 +84,10 @@ def flatten_hierarchy(
                 .cast("int")
                 .alias("depth"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: next round's probe count is the first (and only
+            # concurrent-safe) consumer — it materializes this round's
+            # frame inside the count job (see the header comment)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(
         f"hierarchy did not flatten in {max_iterations} doubling rounds "

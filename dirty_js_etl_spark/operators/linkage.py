@@ -82,7 +82,18 @@ def blocked_link_pairs(
     # probe side pinned to the configured parallelism: the per-row join
     # work here is |block| Levenshteins, so AQE's byte-based coalescing
     # (the value table is a few hundred KB) would fold the quadratic
-    # enumeration to one task (r13 profile)
+    # enumeration to one task (r13 profile). NOTE (ADVICE r13): the pin
+    # is keyed (blk, rec, id) for uniform spread, which does NOT satisfy
+    # the join's blk-alone distribution — it only survives (and
+    # parallelizes the Levenshtein work) while the build side stays
+    # under the broadcast threshold, which holds exactly when
+    # dedup_values keeps the value table dimension-sized. If the value
+    # table outgrows the threshold at cluster scale, the planner inserts
+    # its own blk exchange above this one (correct, but the pin becomes
+    # a wasted shuffle of the few-hundred-KB value table — harmless).
+    # No broadcast hint on the build side on purpose: a hint would turn
+    # a mis-sized value table into an executor OOM instead of a silent
+    # fallback to the shuffle join.
     l = spread_for_cpu(recs, "blk", "rec", "id").alias("l")
     r = recs.alias("r")
     dist = F.levenshtein(F.col("l.rec"), F.col("r.rec"))
@@ -237,6 +248,16 @@ def lsh_link_pairs(
         # one value-keyed shuffle (map-side combined min); every later
         # stage then works on distinct values, never on clique members
         recs = recs.groupBy("rec").agg(F.min("id").alias("id"))
+    # NO spread on recs (r14 negative result, measured before reverting):
+    # pinning the signature map's parallelism with spread_for_cpu(recs,
+    # "id") below the shared subtree kept AQE stage reuse intact but
+    # still regressed the bench in a flat-canary window (x208 1.64 →
+    # 1.98 s, x209 4.25 → 4.51 s): the extra pinned exchange adds a
+    # stage to every one of the four consumer paths, and the md5
+    # signature work it parallelizes is not the critical path here
+    # (x209's generator branches already back-fill the cores, the r13
+    # finding; x208's signature stage is ~0.8 s of a 1.6 s query and
+    # overlaps the band-count stage).
     bt = minhash_band_table(
         recs,
         "id",
@@ -469,7 +490,13 @@ def weighted_link_pairs(
     # probe side pinned to the configured parallelism: per-row join work
     # is |block| guarded Levenshteins; AQE's byte-based coalescing folds
     # the saturated value table (a few hundred KB) to ONE task otherwise
-    # (r13 profile: x210's enumeration was a single 4.5 s task)
+    # (r13 profile: x210's enumeration was a single 4.5 s task). Same
+    # ADVICE-r13 caveat as blocked_link_pairs: keys (blk, fields…) don't
+    # satisfy the join's blk-alone distribution, so the pin relies on
+    # the build side broadcasting (true while the value-deduped table is
+    # dimension-sized); above the threshold the planner adds its own blk
+    # exchange and the pin degrades to one wasted small shuffle. No
+    # broadcast hint on purpose — fallback beats a forced-broadcast OOM.
     l = spread_for_cpu(recs, "blk", *fnames).alias("l")
     r = recs.alias("r")
     cond = (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id"))

@@ -97,53 +97,22 @@ def register(name: str, oracle: str | None):
 _SENTINELS: list[str] = [
     # evergreen §2 canary
     "t5_merge_full",
-    # round 13 (VERDICT r12 task 4): the r11/r12-reworked queries rotated
-    # out of the r12 window the same round their implementations changed
-    # (x215's type-list join became a one-row global aggregate with
-    # coalesce, 91cae33; kmv_estimate dropped its decimal re-round,
-    # sketch.py; x216 gained the build/probe split; x217 landed with the
-    # r11 batch). All four are sf1-swept locally, but the driver must
-    # re-confirm them end-to-end, so they lead the r13 window:
-    "x214_quantile_rollup_portable",
-    "x215_theta_overlap_portable",
-    "x216_incremental_ingest_dedup",
-    "x217_quality_linear_scorer",
-    # round 13: implementations changed THIS round (previously-green
-    # driver rows verified the OLD spelling):
-    # - x36's connected-components single-task union-find gained a
-    #   task-failure fallback to the distributed min-label loop
-    #   (VERDICT r12 task 5), and its input pairs' jaccard threshold
-    #   now filters on the RAW ratio (below)
-    "x36_dup_clusters",
-    # - the cross-engine rounding audit (VERDICT r12 task 3,
-    #   tools/round_audit.py) flipped every bit-identical-input
-    #   F.round site to the raw-division kmv discipline on BOTH the
-    #   Spark and oracle sides — Spark's HALF_UP-on-decimal-string vs
-    #   DuckDB's binary round diverge on 93 integer ratios with
-    #   q <= 20000 (e.g. 41/640). These queries' output values (and
-    #   threshold semantics) changed and must re-appear driver-green:
-    "x5_ngram_jaccard_pairs",
-    "x6b_minhash_lsh_portable",
-    "x42_cluster_canonical",
-    "x90_ngram_corpus_dedup",
-    "x152_paragraph_dedup",
-    "x165_prefix_jaccard_join",
-    "x167_incremental_minhash",
-    "x188_repeated_spans",
-    "x190_ngram_novelty",
-    "x3_text_quality",
-    "x26_math_functions",
-    "x79_distribution_ranks",
-    "x91_time_weighted_avg",
-    "x93_winsorized_mean",
-    "x102_embedding_norms",
-    "x113_variant_json",
-    "x116_tpch_q17",
-    # round 12 carry-overs (plans unchanged since their r12 green rows,
-    # kept one more round as the linkage/privacy §2 canaries)
-    "x209_multi_pass_resolution",
+    # round 14 (VERDICT r13 task 5): these queries' physical plans changed
+    # in r13 (pagerank two-exchange iterations + collect_set co-purchase
+    # pairs; blocked/weighted enumeration spreads; both-sided minhash band
+    # spread) AFTER they rotated out of the r12/r13 driver windows, so the
+    # driver has confirmed only their OLD spellings end-to-end. They are
+    # locally green at sf0.01/sf0.1/sf1 (CORRECTNESS_LOCAL_sf1_r13changed)
+    # but must lead the r14 window for driver re-confirmation:
+    "x143_pagerank",
+    "x141_triangle_count",
+    "x205_link_pairs",
+    "x210_weighted_link_pairs",
+    "x6_minhash_lsh_pairs",  # rows-only (approximate), VERDICT r13 task 4
+    # r13 spread companions whose enumeration plans also changed while
+    # outside the window (blocked_link_pairs feeds x206/x209 too):
     "x206_entity_resolution",
-    "x213_t_closeness",
+    "x209_multi_pass_resolution",
 ]
 
 

@@ -409,12 +409,18 @@ def x209_multi_pass_resolution(spark, sf_dir):
     blk5 = F.concat_ws(
         "|", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), F.col("p_brand")
     )
+    # base LAZY, recs EAGER (r14 job-floor audit): recs' eager build is
+    # base's first consumer, so ONE blocking job materializes both
+    # (base persists mid-job); p5/p7/resolve then read base's persisted
+    # blocks. Two sequential blocking jobs became one, and no
+    # concurrent-consumer race exists because recs' build finishes
+    # before the action launches the generator branches.
     base = part.select(
         F.col("p_partkey").alias("id"),
         rec.alias("rec"),
         blk5.alias("blk5"),
         F.col("p_brand").alias("blk7"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # min id per distinct non-null record value — rec is concat_ws
     # (never NULL), the filter is the generic contract
     recs = (

@@ -15,6 +15,40 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def base_confs() -> dict[str, str]:
+    """The session config dict, factored out so tools (profilers, plan
+    dumpers) build sessions with EXACTLY the production configs instead
+    of hand-copied subsets that drift (ADVICE r13: the r13 profiler
+    omitted the join configs and profiled SMJ plans that production
+    never runs). ``SPARK_GRAFT_EXTRA_CONF`` overrides are applied last,
+    here, so every consumer honors the deployment hook."""
+    confs = {
+        "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+            64 * 1024 * 1024
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    }
+    # cluster-tuning hook: ';'-separated key=value pairs, applied last so
+    # a deployment (or an A/B run) can override any default above without
+    # code changes, e.g. SPARK_GRAFT_EXTRA_CONF=
+    # "spark.sql.shuffle.partitions=2000;spark.io.compression.codec=zstd"
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            confs[k.strip()] = v.strip()
+    return confs
+
+
 def get_spark(app_name: str = "dirty_js_etl_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
 
@@ -26,56 +60,44 @@ def get_spark(app_name: str = "dirty_js_etl_spark", master: str | None = None) -
     - Arrow enabled: every Pandas-UDF path (multimodal, minhash batch
       ops) transfers columnar batches, not pickled rows.
     """
+    # Config notes (the dict itself lives in base_confs so tools reuse it):
+    #
+    # - parquet.inferTimestampNTZ=false: parquet writers that omit the
+    #   isAdjustedToUTC flag (pandas/pyarrow defaults) would otherwise
+    #   surface as TIMESTAMP_NTZ under Spark 4's inference, breaking epoch
+    #   math (cast to long is an AnalysisException on NTZ under ANSI mode)
+    #   and streaming watermarks. Force LTZ reads — with the UTC session
+    #   timezone this matches how the DuckDB oracle reads the same files.
+    #
+    # - Join strategy (guide §3.1), two distinct legs:
+    #   (a) AQE maxShuffledHashJoinLocalMapThreshold=64m converts SMJ→SHJ
+    #       at runtime using ACTUAL post-shuffle sizes — every build
+    #       partition must be under 64 MB, which bounds the per-task hash
+    #       map, so this leg is size-safe by construction.
+    #   (b) preferSortMergeJoin=false additionally lets the STATIC planner
+    #       pick SHJ from size ESTIMATES (canBuildLocalHashMap). Estimates
+    #       can be badly wrong after filters/explodes at cluster scale, and
+    #       an SHJ build side does not spill — a misestimate can OOM an
+    #       executor where SMJ would have spilled (ADVICE r13). Kept
+    #       because the r13/r14 A/Bs measured a real win on top of (a)
+    #       (r13 join subset 20.7→15.9 s; x194 2.5→0.94 s); deployments
+    #       joining skew-prone or estimate-hostile inputs should flip it
+    #       back via SPARK_GRAFT_EXTRA_CONF=
+    #       "spark.sql.join.preferSortMergeJoin=true" and keep leg (a).
+    #   zstd shuffle compression and a smaller AQE minPartitionSize were
+    #   A/B'd alongside and REJECTED (both regressed at bench scale).
+    #
+    # - driver.memory=8g: single-JVM local mode — the driver heap IS the
+    #   executor heap. Measured on this box: 8g beats 64g by >10x on
+    #   shuffle-heavy queries (oversized G1 heaps collapse on these
+    #   vCPUs) — keep the heap small and clear persisted frames between
+    #   workloads instead.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        # Parquet writers that omit the isAdjustedToUTC flag (e.g. pandas/
-        # pyarrow defaults) would otherwise surface as TIMESTAMP_NTZ under
-        # Spark 4's inference, breaking epoch math (cast to long is an
-        # AnalysisException on NTZ under ANSI mode) and streaming
-        # watermarks. Force LTZ reads — with the UTC session timezone above
-        # this matches how the DuckDB oracle reads the same files.
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Prefer shuffled-hash over sort-merge joins when the planner's
-        # size conditions hold, and let AQE convert SMJ→SHJ at runtime
-        # when every post-shuffle build partition is under 64 MB
-        # (guide §3.1): hash probing skips both sides' sorts. r13 A/B on
-        # the join-heavy headline subset: 20.7 → 15.9 s (x194 TPC-H Q2
-        # 2.5 → 0.94 s), flat canary both runs. Scale-safe by
-        # construction — the 64 MB per-partition threshold is what
-        # bounds the in-memory hash map on a cluster, and SMJ remains
-        # the fallback above it; zstd shuffle compression and a smaller
-        # AQE minPartitionSize were A/B'd alongside and REJECTED (both
-        # regressed: shuffle payloads here are too small to amortize
-        # zstd CPU or extra tasks). Override via SPARK_GRAFT_EXTRA_CONF.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            str(64 * 1024 * 1024),
-        )
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.ui.enabled", "false")
-        # single-JVM local mode: the driver heap IS the executor heap.
-        # Measured on this box: 8g beats 64g by >10x on shuffle-heavy
-        # queries (oversized G1 heaps collapse on these vCPUs) — keep the
-        # heap small and clear persisted frames between workloads instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
     )
-    # cluster-tuning hook: ';'-separated key=value pairs, applied last so
-    # a deployment (or an A/B run) can override any default above without
-    # code changes, e.g. SPARK_GRAFT_EXTRA_CONF=
-    # "spark.sql.shuffle.partitions=2000;spark.io.compression.codec=zstd"
-    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
-        if "=" in kv:
-            k, v = kv.split("=", 1)
-            builder = builder.config(k.strip(), v.strip())
+    for k, v in base_confs().items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -386,7 +386,12 @@ def _ref_pairs(word_lists, threshold=0.5, cap=1000):
     """Brute-force O(n²) reference replicating ngram_jaccard_pairs
     semantics on plain Python sets: distinct word 3-grams (short docs
     collapse to one whole-doc shingle), df-capped intersections,
-    uncapped sizes, round-6 jaccard."""
+    uncapped sizes, RAW integer-ratio jaccard (the VERDICT r12 task 3
+    kmv discipline — the pipeline stopped rounding to 6 decimals in
+    r13, but this reference kept its round-6 until hypothesis finally
+    generated a non-terminating ratio, 1/3, in r14 and exposed the
+    stale spelling; both sides are one IEEE division of the same
+    integers, so they are bit-identical)."""
     def shingles(ws):
         if len(ws) < 3:
             return {" ".join(ws)}  # split('') -> [''] gives {''} for empty
@@ -404,7 +409,7 @@ def _ref_pairs(word_lists, threshold=0.5, cap=1000):
             inter = len(capped[a] & capped[b])
             if not inter:
                 continue
-            j = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            j = inter / (len(sh[a]) + len(sh[b]) - inter)
             if j >= threshold:
                 exp[(a, b)] = j
     return exp
@@ -442,7 +447,7 @@ def test_prefix_filter_is_lossless_vs_brute_force(spark, corpus, threshold, cap)
     # both spellings must equal the brute force: the record-level path
     # AND the value-level dedup-then-pair path (r10 — whose cross/intra
     # expansion must reproduce identical-doc pairs, szc=0 drops, and
-    # the exact rounded jaccard; random tiny corpora are duplicate-rich)
+    # the exact raw-ratio jaccard; random tiny corpora are duplicate-rich)
     for dedup_values in (False, True):
         got = {
             (r.id_a, r.id_b): r.jaccard

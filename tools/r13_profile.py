@@ -30,10 +30,14 @@ def main() -> None:
     log_dir = tempfile.mkdtemp(prefix="r13_eventlog_")
     from pyspark.sql import SparkSession
 
-    from dirty_js_etl_spark import session as sess
+    from dirty_js_etl_spark.session import base_confs
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # same configs as session.get_spark, plus event logging
+    # EXACTLY the production session configs (ADVICE r13: the hand-copied
+    # subset here omitted the r13 join configs, so profiles showed SMJ
+    # plans production never runs), plus event logging. base_confs()
+    # already applies SPARK_GRAFT_EXTRA_CONF last; R13_EXTRA_CONF remains
+    # as a profile-only override on top of that.
     builder = (
         SparkSession.builder.appName("r13_profile")
         .master(f"local[{cpus}]")
@@ -42,23 +46,7 @@ def main() -> None:
         .config("spark.eventLog.compress", "false")
         .config("spark.eventLog.rolling.enabled", "false")
     )
-    # piggyback on get_spark's config list by calling it with an
-    # already-registered builder? simplest: replicate via get_spark then
-    # stop and rebuild is wasteful — instead call get_spark's builder
-    # by copying its confs here:
-    confs = {
-        "spark.sql.shuffle.partitions": cpus,
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.coalescePartitions.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.session.timeZone": "UTC",
-        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-        "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-        "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-    }
-    for k, v in confs.items():
+    for k, v in base_confs().items():
         builder = builder.config(k, v)
     for k, v in (
         kv.split("=", 1)
@@ -89,7 +77,6 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         t1 = time.perf_counter()
         print(f"\n=== {name}: {t1 - t0:.3f}s (timed run, noop sink) ===")
-        marks[name] = (t0, t1)
         spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(None)
         try:
@@ -187,8 +174,6 @@ def main() -> None:
         )
     shutil.rmtree(log_dir, ignore_errors=True)
 
-
-marks: dict = {}
 
 if __name__ == "__main__":
     main()
