@@ -31,7 +31,6 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dirty_js_etl_spark.operators.parallel import spread_for_cpu
 from dirty_js_etl_spark.operators.text import normalize_text
 
 _P = 2_147_483_647  # 2^31 - 1 (Mersenne prime), universal-hash modulus
@@ -271,17 +270,19 @@ def minhash_lsh_pairs(
         .drop("__n")
     )
 
-    # both join sides pinned to the configured parallelism ON THE JOIN
-    # KEYS: per-row join work is |bucket| comparisons (up to
-    # max_bucket_size), so AQE's byte-based coalescing of the small
-    # banded table would fold the candidate enumeration to one task
-    # (r13 profile). Spelling BOTH sides as the SAME pinned repartition
-    # keeps the subtrees canonically identical (one computation via
-    # exchange reuse) and satisfies the join's distribution requirement,
-    # so no extra coalescable exchange sneaks back in.
-    spread = spread_for_cpu(banded, "band", "bucket")
-    left = spread.alias("l")
-    right = spread.alias("r")
+    # NO pinned spread on the band self-join (r14, VERDICT r13 task 4):
+    # the r13 both-sided REPARTITION_BY_NUM pin was re-measured in an
+    # interleaved kill-switch ABAB at sf0.1 in quiet windows — spread ON
+    # 3.26-3.89 s vs OFF 2.56-3.20 s, consistent across both pairs; the
+    # driver's r13 read (x6 3.04 → 3.74, −19%) was a real regression,
+    # not noise. Unlike the linkage enumerators (broadcast build side,
+    # probe partitioning free), this self-join's two pinned exchanges
+    # replaced ENSURE_REQUIREMENTS exchanges AQE was already placing on
+    # the same keys, so they bought no parallelism and cost two extra
+    # pinned stages. AQE's byte-coalescing of the banded table is
+    # bounded here by the bucket cap + distinct-pair dedup downstream.
+    left = banded.alias("l")
+    right = banded.alias("r")
     cands = (
         left.join(
             right,

@@ -32,7 +32,7 @@ def main() -> None:
         bench._prep_x216_index(
             spark, SF_DIR, bench._x216_index_dir(SF_DIR)
         )
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
         df = qs[n](spark, SF_DIR)

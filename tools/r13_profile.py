@@ -80,7 +80,17 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(None)
         try:
-            print("--- AQE final plan ---")
+            # The noop write above executed a SEPARATE write-command
+            # QueryExecution, so df's own plan would still print
+            # isFinalPlan=false. PROFILE_COLLECT=1 executes df's own
+            # QueryExecution (collect) first, making this the true
+            # post-AQE final plan (AQEShuffleRead, runtime join
+            # rewrites) — the artifact VERDICT r13 task 3 asks for.
+            if os.environ.get("PROFILE_COLLECT"):
+                df.collect()
+                print("--- AQE final plan (post-execution, collect) ---")
+            else:
+                print("--- AQE initial plan (not executed) ---")
             print(df._jdf.queryExecution().executedPlan().toString()[:120000])
         except Exception as e:  # noqa: BLE001
             print("plan:", e)
